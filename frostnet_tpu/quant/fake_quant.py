@@ -1,0 +1,108 @@
+"""Fake-quantization primitives with straight-through-estimator gradients.
+
+Replaces the ``FakeQuantize`` modules PyTorch's ``prepare_qat`` inserts in the
+reference (SURVEY.md §2.6 row 1). On TPU these are pure elementwise ops that
+XLA fuses into the producing conv/matmul epilogue — no module graph needed.
+
+Forward numerics match aten's fake_quantize kernels:
+    q   = clamp(round(x / scale) + zero_point, qmin, qmax)
+    out = (q - zero_point) * scale
+with round-half-to-even (jnp.round == std::nearbyint under default FP env).
+
+Backward is the standard STE with range masking: dL/dx = g where the
+pre-clamp integer landed inside [qmin, qmax], else 0 (matches
+fake_quantize_per_tensor_affine_cachemask). scale/zero_point are
+observer-derived, not learned, so they get zero cotangents.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .observer import ObserverState, calculate_qparams
+from .qtypes import QSpec
+
+
+def _fq_fwd_math(x, scale, zero_point, qmin, qmax):
+    inv = 1.0 / scale
+    qraw = jnp.round(x * inv) + zero_point
+    q = jnp.clip(qraw, qmin, qmax)
+    out = (q - zero_point) * scale
+    mask = (qraw >= qmin) & (qraw <= qmax)
+    return out.astype(x.dtype), mask
+
+
+@jax.custom_vjp
+def _fake_quant(x, scale, zero_point, qmin, qmax):
+    out, _ = _fq_fwd_math(x, scale, zero_point, qmin, qmax)
+    return out
+
+
+def _fake_quant_fwd(x, scale, zero_point, qmin, qmax):
+    out, mask = _fq_fwd_math(x, scale, zero_point, qmin, qmax)
+    return out, mask
+
+
+def _fake_quant_bwd(mask, g):
+    return (jnp.where(mask, g, 0.0).astype(g.dtype), None, None, None, None)
+
+
+_fake_quant.defvjp(_fake_quant_fwd, _fake_quant_bwd)
+
+
+def _reshape_qparams(scale, zero_point, x, channel_axis: Optional[int]):
+    if channel_axis is None:
+        return scale, zero_point.astype(jnp.float32)
+    shape = [1] * x.ndim
+    shape[channel_axis % x.ndim] = x.shape[channel_axis % x.ndim]
+    return scale.reshape(shape), zero_point.astype(jnp.float32).reshape(shape)
+
+
+def fake_quantize(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero_point: jnp.ndarray,
+    spec: QSpec,
+    channel_axis: Optional[int] = None,
+) -> jnp.ndarray:
+    """Quantize-dequantize ``x`` on the integer grid of ``spec`` (STE grads)."""
+    s, zp = _reshape_qparams(
+        jax.lax.stop_gradient(scale), jax.lax.stop_gradient(zero_point), x, channel_axis
+    )
+    return _fake_quant(x, s, zp, float(spec.qmin), float(spec.qmax))
+
+
+def fake_quantize_observed(
+    x: jnp.ndarray,
+    state: ObserverState,
+    spec: QSpec,
+    channel_axis: Optional[int] = None,
+) -> jnp.ndarray:
+    """fake_quantize with (scale, zp) computed from observer state."""
+    scale, zp = calculate_qparams(state, spec)
+    return fake_quantize(x, scale, zp, spec, channel_axis)
+
+
+def quantize(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero_point: jnp.ndarray,
+    spec: QSpec,
+    channel_axis: Optional[int] = None,
+) -> jnp.ndarray:
+    """Real quantization to the integer grid (used by the freeze pass)."""
+    s, zp = _reshape_qparams(scale, zero_point, x, channel_axis)
+    q = jnp.clip(jnp.round(x / s) + zp, spec.qmin, spec.qmax)
+    return q.astype(spec.storage_dtype)
+
+
+def dequantize(
+    q: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero_point: jnp.ndarray,
+    channel_axis: Optional[int] = None,
+) -> jnp.ndarray:
+    s, zp = _reshape_qparams(scale, zero_point, q, channel_axis)
+    return (q.astype(jnp.float32) - zp) * s

@@ -1,0 +1,18 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh so sharding code paths
+are exercised without TPU hardware (the driver separately compiles the
+multi-chip path via __graft_entry__.dryrun_multichip)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# Full f32 accumulation so golden tests against torch CPU are bit-stable.
+jax.config.update("jax_default_matmul_precision", "highest")
