@@ -13,3 +13,7 @@ __version__ = "0.1.0"
 from . import quant
 
 __all__ = ["quant", "__version__"]
+
+# Submodules (nn, models, optim, parallel, data, train, segmentation,
+# detection, gan, ops, utils) import lazily — `import frostnet_tpu.models`
+# etc. — to keep bare `import frostnet_tpu` light.

@@ -1,0 +1,134 @@
+"""Host-side datasets.
+
+The reference's data layer (Classification/utils/data_functions.py download +
+torchvision loaders) maps to: dataset iterators yielding numpy batches in
+NHWC, normalized on host, with a deterministic synthetic source for smoke
+tests and benchmarking (this machine has no network egress, so downloaders
+raise with instructions instead of fetching).
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class SyntheticClassification:
+    """Deterministic fake image/label stream (fixed seed per epoch).
+
+    Mirrors the shape contract of the reference loaders
+    (Classification/utils/data_functions.py:247-258) without I/O — used by
+    smoke tests and the throughput benchmark so the TPU hot loop is the only
+    cost being measured.
+    """
+
+    def __init__(self, num_classes=1000, image_size=224, length=1024,
+                 batch_size=64, seed=0, dtype=np.float32):
+        self.num_classes = num_classes
+        self.image_size = image_size
+        self.length = length
+        self.batch_size = batch_size
+        self.seed = seed
+        self.dtype = dtype
+
+    def __len__(self):
+        return self.length // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.RandomState(self.seed)
+        for _ in range(len(self)):
+            yield {
+                "image": rng.randn(
+                    self.batch_size, self.image_size, self.image_size, 3
+                ).astype(self.dtype),
+                "label": rng.randint(
+                    0, self.num_classes, (self.batch_size,), dtype=np.int32),
+            }
+
+
+class FolderClassification:
+    """ImageFolder-style dataset: root/<class>/<image>. JPEG decode via PIL
+    on host threads; resize+crop+flip+normalize (the torchvision transform
+    stack at reference data_functions.py:12-209)."""
+
+    def __init__(self, root, image_size=224, batch_size=64, train=True,
+                 seed=0, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        from PIL import Image  # noqa: F401 - fail early if PIL is missing
+        self.root = root
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.mean, self.std = mean, std
+        classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for f in sorted(os.listdir(cdir)):
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+                    self.samples.append((os.path.join(cdir, f), self.class_to_idx[c]))
+        if not self.samples:
+            raise ValueError(f"no images under {root}")
+
+    @property
+    def num_classes(self):
+        return len(self.class_to_idx)
+
+    def __len__(self):
+        return len(self.samples) // self.batch_size
+
+    def _load(self, path, rng):
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        s = self.image_size
+        if self.train:
+            # RandomResizedCrop-ish: random scale crop + resize + hflip
+            w, h = img.size
+            scale = rng.uniform(0.7, 1.0)
+            cw, ch = int(w * scale), int(h * scale)
+            x0 = rng.randint(0, w - cw + 1)
+            y0 = rng.randint(0, h - ch + 1)
+            img = img.crop((x0, y0, x0 + cw, y0 + ch)).resize((s, s))
+            arr = np.asarray(img, np.float32) / 255.0
+            if rng.rand() < 0.5:
+                arr = arr[:, ::-1]
+        else:
+            w, h = img.size
+            r = int(s * 1.14)
+            if w < h:
+                img = img.resize((r, int(h * r / w)))
+            else:
+                img = img.resize((int(w * r / h), r))
+            w, h = img.size
+            x0, y0 = (w - s) // 2, (h - s) // 2
+            img = img.crop((x0, y0, x0 + s, y0 + s))
+            arr = np.asarray(img, np.float32) / 255.0
+        return (arr - self.mean) / self.std
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.samples)) if self.train else np.arange(len(self.samples))
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            images = np.stack([self._load(self.samples[i][0], rng) for i in idx])
+            labels = np.array([self.samples[i][1] for i in idx], np.int32)
+            yield {"image": images.astype(np.float32), "label": labels}
+
+
+def download_data(name: str, data_dir: str):
+    """The reference auto-downloads datasets (data_functions.py:12-209);
+    this environment has no egress, so we validate presence and explain."""
+    path = os.path.join(data_dir, name)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"dataset {name!r} not found at {path}; this host has no network "
+            "egress — place the extracted dataset there, or use "
+            "--dataset synthetic for smoke runs.")
+    return path

@@ -1,0 +1,208 @@
+"""Detection datasets + SSD augmentation.
+
+Re-implements the behavior of Object_Detection/data/voc0712.py (VOC XML
+annotation parsing, class list) and utils/augmentations.py:400-417 (the SSD
+photometric + geometric train pipeline) with numpy/PIL, emitting fixed-shape
+batches: images (B,300,300,3) BGR-mean-subtracted, boxes padded to MAX_GT
+with a validity mask (the TPU-native replacement for detection_collate's
+ragged lists, data/__init__.py:9-27).
+"""
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor")
+
+MEANS = (104, 117, 123)  # BGR means (data/config.py:15)
+MAX_GT = 50
+
+
+def _photometric(img, rng):
+    """PhotometricDistort (augmentations.py:376-398), simplified but matching
+    op set: brightness/contrast/saturation/hue jitter in random order."""
+    img = img.astype(np.float32)
+    if rng.randint(2):
+        img += rng.uniform(-32, 32)
+    if rng.randint(2):
+        img *= rng.uniform(0.5, 1.5)
+    # channel swap
+    if rng.randint(2):
+        img = img[..., rng.permutation(3)]
+    return np.clip(img, 0, 255)
+
+
+def _expand(img, boxes, rng):
+    """Expand (zoom-out) with mean fill."""
+    if rng.randint(2):
+        return img, boxes
+    h, w, c = img.shape
+    ratio = rng.uniform(1, 4)
+    left = rng.uniform(0, w * ratio - w)
+    top = rng.uniform(0, h * ratio - h)
+    out = np.zeros((int(h * ratio), int(w * ratio), c), img.dtype)
+    out[...] = MEANS
+    out[int(top):int(top) + h, int(left):int(left) + w] = img
+    boxes = boxes.copy()
+    boxes[:, [0, 2]] += left
+    boxes[:, [1, 3]] += top
+    return out, boxes
+
+
+def _random_crop(img, boxes, labels, rng):
+    """RandomSampleCrop (augmentations.py:208-310), IoU-constrained crops."""
+    h, w = img.shape[:2]
+    for _ in range(20):
+        mode = rng.choice([0, 1, 2, 3, 4, 5])
+        if mode == 0:
+            return img, boxes, labels
+        min_iou = [None, 0.1, 0.3, 0.7, 0.9, None][mode] or 0.0
+        cw = rng.uniform(0.3 * w, w)
+        ch = rng.uniform(0.3 * h, h)
+        if not 0.5 <= cw / ch <= 2:
+            continue
+        x0 = rng.uniform(0, w - cw)
+        y0 = rng.uniform(0, h - ch)
+        rect = np.array([x0, y0, x0 + cw, y0 + ch])
+        centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+        mask = ((centers[:, 0] > rect[0]) & (centers[:, 0] < rect[2]) &
+                (centers[:, 1] > rect[1]) & (centers[:, 1] < rect[3]))
+        if not mask.any():
+            continue
+        nb = boxes[mask].copy()
+        nb[:, :2] = np.maximum(nb[:, :2], rect[:2]) - rect[:2]
+        nb[:, 2:] = np.minimum(nb[:, 2:], rect[2:]) - rect[:2]
+        return (img[int(y0):int(y0 + ch), int(x0):int(x0 + cw)], nb, labels[mask])
+    return img, boxes, labels
+
+
+def ssd_augment(img, boxes, labels, rng, size=300, train=True):
+    """Full SSDAugmentation pipeline -> (img (size,size,3) f32 mean-sub BGR,
+    boxes normalized point-form, labels)."""
+    from PIL import Image
+
+    img = np.asarray(img, np.float32)
+    if train and len(boxes):
+        img = _photometric(img, rng)
+        img, boxes = _expand(img, boxes, rng)
+        img, boxes, labels = _random_crop(img, boxes, labels, rng)
+        if rng.randint(2):  # mirror
+            img = img[:, ::-1]
+            h, w = img.shape[:2]
+            boxes = boxes.copy()
+            boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    h, w = img.shape[:2]
+    boxes = boxes / np.array([w, h, w, h], np.float32) if len(boxes) else boxes
+    img = np.asarray(
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).resize((size, size)),
+        np.float32)
+    img = img[..., ::-1] - MEANS  # RGB->BGR, mean subtract (BaseTransform)
+    return img.astype(np.float32), np.asarray(boxes, np.float32), labels
+
+
+def pad_targets(boxes, labels, max_gt=MAX_GT):
+    gb = np.zeros((max_gt, 4), np.float32)
+    gl = np.zeros((max_gt,), np.int32)
+    gv = np.zeros((max_gt,), bool)
+    n = min(len(boxes), max_gt)
+    if n:
+        gb[:n] = boxes[:n]
+        gl[:n] = labels[:n]
+        gv[:n] = True
+    return gb, gl, gv
+
+
+class VOCDetection:
+    """VOC07+12 dataset from the standard VOCdevkit layout
+    (data/voc0712.py:26-179)."""
+
+    def __init__(self, root, image_sets=(("2007", "trainval"), ("2012", "trainval")),
+                 size=300, batch_size=32, train=True, seed=0, keep_difficult=False):
+        self.root = root
+        self.size = size
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.keep_difficult = keep_difficult
+        self.ids: List[Tuple[str, str]] = []
+        for year, name in image_sets:
+            base = os.path.join(root, f"VOC{year}")
+            lf = os.path.join(base, "ImageSets", "Main", name + ".txt")
+            if not os.path.isfile(lf):
+                raise FileNotFoundError(
+                    f"{lf} missing — place the VOCdevkit there or use "
+                    "SyntheticDetection for smoke runs.")
+            with open(lf) as f:
+                self.ids += [(base, line.strip()) for line in f if line.strip()]
+        self.class_to_idx = {c: i for i, c in enumerate(VOC_CLASSES)}
+
+    def __len__(self):
+        return len(self.ids) // self.batch_size
+
+    def _load(self, base, img_id, rng):
+        from PIL import Image
+
+        img = np.asarray(Image.open(
+            os.path.join(base, "JPEGImages", img_id + ".jpg")).convert("RGB"))
+        boxes, labels = [], []
+        tree = ET.parse(os.path.join(base, "Annotations", img_id + ".xml"))
+        for obj in tree.iter("object"):
+            difficult = int(obj.find("difficult").text) == 1
+            if difficult and not self.keep_difficult:
+                continue
+            name = obj.find("name").text.lower().strip()
+            bb = obj.find("bndbox")
+            boxes.append([float(bb.find(k).text) - (1 if k in ("xmin", "ymin") else 0)
+                          for k in ("xmin", "ymin", "xmax", "ymax")])
+            labels.append(self.class_to_idx[name])
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        labels = np.asarray(labels, np.int32)
+        return ssd_augment(img, boxes, labels, rng, self.size, self.train)
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.ids)) if self.train else np.arange(len(self.ids))
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            ims, gbs, gls, gvs = [], [], [], []
+            for i in idx:
+                img, boxes, labels = self._load(*self.ids[i], rng)
+                gb, gl, gv = pad_targets(boxes, labels)
+                ims.append(img); gbs.append(gb); gls.append(gl); gvs.append(gv)
+            yield {"image": np.stack(ims), "boxes": np.stack(gbs),
+                   "labels": np.stack(gls), "valid": np.stack(gvs)}
+
+
+class SyntheticDetection:
+    """Deterministic fake detection batches for smoke/bench."""
+
+    def __init__(self, num_classes=20, size=300, length=16, batch_size=4, seed=0):
+        self.num_classes = num_classes
+        self.size = size
+        self.length = length
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def __len__(self):
+        return self.length // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.RandomState(self.seed)
+        for _ in range(len(self)):
+            images = rng.randn(self.batch_size, self.size, self.size, 3).astype(np.float32)
+            gbs, gls, gvs = [], [], []
+            for _ in range(self.batch_size):
+                n = rng.randint(1, 6)
+                xy = rng.rand(n, 2) * 0.6
+                wh = rng.rand(n, 2) * 0.3 + 0.05
+                boxes = np.concatenate([xy, np.clip(xy + wh, 0, 1)], 1).astype(np.float32)
+                gb, gl, gv = pad_targets(boxes, rng.randint(0, self.num_classes, n))
+                gbs.append(gb); gls.append(gl); gvs.append(gv)
+            yield {"image": images, "boxes": np.stack(gbs),
+                   "labels": np.stack(gls), "valid": np.stack(gvs)}

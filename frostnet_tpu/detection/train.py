@@ -1,0 +1,191 @@
+"""Detection QAT trainer (Object_Detection/qtrainval.py:99-327 flow).
+
+Iteration-based: FP warm-up for 2 epochs' worth of iterations, then QAT to
+cfg['max_iter'] with the multistep LR schedule. One optimizer spans feat+head
+params (qtrainval.py:157); the multibox loss runs fully on-device (no CPU
+prior-matching loop). Xavier init from scratch matches weights_init
+(:351-359) via the conv initializers.
+
+Run: python -m frostnet_tpu.detection.train --net_type qssd --dataset synthetic \
+       --max_iter 4 --warmup_iters 2
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..nn import FP32, QAT
+from ..optim import get_optimizer, set_warmup, schedules
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger
+from .anchors import CONFIGS, make_priors
+from .data import SyntheticDetection, VOCDetection
+from .losses import multibox_loss
+from .models import build_ssd
+from .tdsod import build_tdsod
+
+
+@dataclasses.dataclass
+class DetConfig:
+    net_type: str = "qssd"          # 'qssd' | 'qtdsod'
+    dataset: str = "synthetic"      # 'voc' | 'synthetic'
+    data_root: str = "./data/VOCdevkit"
+    num_classes: int = 21
+    batch_size: int = 32
+    lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    gamma: float = 0.1
+    optim: str = "QSGD"
+    clip_by: float = 1e-3
+    max_iter: Optional[int] = None      # default from cfg
+    warmup_iters: Optional[int] = None  # default 2 epochs
+    save_every: int = 10000
+    seed: int = 0
+    save_dir: str = "./runs/detection"
+
+
+@flax.struct.dataclass
+class DetState:
+    step: jnp.ndarray
+    feat_params: Any
+    feat_batch_stats: Any
+    feat_quant: Any
+    head_params: Any
+    head_batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+
+def make_det_train_step(feat, head, mode, priors, num_classes):
+    mutable_f = ["batch_stats"] + (["quant"] if mode.observe else [])
+
+    def step(state: DetState, batch):
+        def loss_fn(params):
+            fp, hp = params
+            fv = {"params": fp, "batch_stats": state.feat_batch_stats,
+                  "quant": state.feat_quant}
+            sources, f_upd = feat.apply(fv, batch["image"], mode=mode, train=True,
+                                        mutable=mutable_f)
+            hv = {"params": hp, "batch_stats": state.head_batch_stats}
+            (loc, conf), h_upd = head.apply(hv, sources, train=True,
+                                            mutable=["batch_stats"])
+            loss_l, loss_c = multibox_loss(
+                loc, conf, batch["boxes"], batch["labels"], batch["valid"], priors)
+            return loss_l + loss_c, (f_upd, h_upd, loss_l, loss_c)
+
+        (loss, (f_upd, h_upd, loss_l, loss_c)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)((state.feat_params, state.head_params))
+        updates, opt_state = state.tx.update(
+            grads, state.opt_state, (state.feat_params, state.head_params))
+        fp, hp = optax.apply_updates((state.feat_params, state.head_params), updates)
+        return state.replace(
+            step=state.step + 1, feat_params=fp, head_params=hp,
+            feat_batch_stats=f_upd.get("batch_stats", state.feat_batch_stats),
+            feat_quant=f_upd.get("quant", state.feat_quant),
+            head_batch_stats=h_upd.get("batch_stats", state.head_batch_stats),
+            opt_state=opt_state,
+        ), {"loss": loss, "loss_l": loss_l, "loss_c": loss_c}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def main(cfg: DetConfig):
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    logger = MetricLogger(cfg.save_dir, name="det")
+    logger.info(f"config: {dataclasses.asdict(cfg)}")
+
+    det_cfg = CONFIGS["tdsod_voc" if cfg.net_type == "qtdsod" else "voc"]
+    priors = jnp.asarray(make_priors(det_cfg))
+    max_iter = cfg.max_iter or det_cfg["max_iter"]
+
+    if cfg.dataset == "synthetic":
+        ds = SyntheticDetection(cfg.num_classes - 1, 300,
+                                cfg.batch_size * 4, cfg.batch_size, cfg.seed)
+    else:
+        ds = VOCDetection(cfg.data_root, batch_size=cfg.batch_size, seed=cfg.seed)
+    epoch_size = max(len(ds), 1)
+    warmup_iters = cfg.warmup_iters if cfg.warmup_iters is not None else 2 * epoch_size
+
+    build = build_tdsod if cfg.net_type == "qtdsod" else build_ssd
+    feat, head = build(num_classes=cfg.num_classes)
+
+    schedule = schedules.multistep(cfg.lr, det_cfg["lr_steps"], cfg.gamma)
+    tx = get_optimizer(cfg.optim, schedule, momentum=cfg.momentum,
+                       weight_decay=cfg.weight_decay,
+                       **({"clip_by": cfg.clip_by} if cfg.optim.startswith("Q") else {}))
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.zeros((cfg.batch_size, 300, 300, 3), jnp.float32)
+    fv = jax.jit(lambda r, x: feat.init(r, x, mode=QAT, train=True))(rng, sample)
+    sources_shape = jax.eval_shape(
+        lambda v, x: feat.apply(v, x, mode=FP32), fv, sample)
+    sources = [jnp.zeros(s.shape, s.dtype) for s in sources_shape]
+    hv = jax.jit(lambda r, s: head.init(r, s, train=True))(rng, sources)
+
+    state = DetState(
+        step=jnp.zeros([], jnp.int32),
+        feat_params=fv["params"], feat_batch_stats=fv.get("batch_stats", {}),
+        feat_quant=fv.get("quant", {}),
+        head_params=hv["params"], head_batch_stats=hv.get("batch_stats", {}),
+        opt_state=tx.init((fv["params"], hv["params"])),
+        rng=rng, tx=tx)
+
+    fp_step = make_det_train_step(feat, head, FP32, priors, cfg.num_classes)
+    qat_step = make_det_train_step(feat, head, QAT, priors, cfg.num_classes)
+
+    it = 0
+    data_iter = iter(ds)
+
+    def next_batch():
+        nonlocal data_iter
+        try:
+            b = next(data_iter)
+        except StopIteration:
+            data_iter = iter(ds)
+            b = next(data_iter)
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    while it < warmup_iters:  # FP warm-up (qtrainval.py:187-237)
+        state, m = fp_step(state, next_batch())
+        it += 1
+    logger.info(f"[warmup done @ {it}] loss={float(m['loss']):.4f}")
+    state = state.replace(opt_state=set_warmup(state.opt_state, False))
+
+    while it < max_iter:      # QAT iterations (qtrainval.py:259-327)
+        state, m = qat_step(state, next_batch())
+        it += 1
+        if it % cfg.save_every == 0 or it == max_iter:
+            save_checkpoint(os.path.join(cfg.save_dir, f"ssd300_{it}"), state)
+            logger.info(f"[iter {it}] loss={float(m['loss']):.4f} "
+                        f"(l={float(m['loss_l']):.4f} c={float(m['loss_c']):.4f})")
+    logger.info(f"final loss={float(m['loss']):.4f}")
+    return state
+
+
+def cli():
+    p = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(DetConfig):
+        typ = {"int": int, "float": float, "str": str,
+               "Optional[int]": int}.get(str(f.type), str)
+        p.add_argument(f"--{f.name}", type=typ, default=None)
+    args = p.parse_args()
+    cfg = DetConfig()
+    for f in dataclasses.fields(DetConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

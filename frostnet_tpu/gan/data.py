@@ -1,0 +1,113 @@
+"""Style-transfer datasets (Style_Transfer/data/*): aligned (AB side-by-side
+images), unaligned (two directories), single, plus a synthetic source.
+
+Transforms follow base_dataset.py:13-157: resize to load_size, random crop
+to crop_size, random hflip, normalize to [-1, 1].
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+
+def _list_images(d):
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.lower().endswith(exts))
+
+
+def _load_transform(path, rng, load_size=286, crop_size=256, flip=True, ab_half=None):
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if ab_half is not None:  # aligned datasets store A|B concatenated
+        w, h = img.size
+        half = w // 2
+        img = img.crop((0, 0, half, h)) if ab_half == "A" else img.crop((half, 0, w, h))
+    img = img.resize((load_size, load_size), Image.BICUBIC)
+    x0 = rng.randint(0, load_size - crop_size + 1)
+    y0 = rng.randint(0, load_size - crop_size + 1)
+    arr = np.asarray(img, np.float32)[y0:y0 + crop_size, x0:x0 + crop_size] / 255.0
+    if flip and rng.rand() < 0.5:
+        arr = arr[:, ::-1]
+    return arr * 2.0 - 1.0
+
+
+class AlignedDataset:
+    """A|B concatenated pairs under root/train (data/aligned_dataset.py)."""
+
+    def __init__(self, root, phase="train", batch_size=1, load_size=286,
+                 crop_size=256, seed=0):
+        self.paths = _list_images(os.path.join(root, phase))
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {root}/{phase}")
+        self.batch_size = batch_size
+        self.load_size, self.crop_size = load_size, crop_size
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.paths) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.paths))
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            a = [_load_transform(self.paths[i], rng, self.load_size, self.crop_size,
+                                 ab_half="A") for i in idx]
+            bb = [_load_transform(self.paths[i], rng, self.load_size, self.crop_size,
+                                  ab_half="B") for i in idx]
+            yield {"A": np.stack(a).astype(np.float32),
+                   "B": np.stack(bb).astype(np.float32)}
+
+
+class UnalignedDataset:
+    """root/trainA + root/trainB, sampled independently
+    (data/unaligned_dataset.py)."""
+
+    def __init__(self, root, phase="train", batch_size=1, load_size=286,
+                 crop_size=256, seed=0):
+        self.paths_a = _list_images(os.path.join(root, phase + "A"))
+        self.paths_b = _list_images(os.path.join(root, phase + "B"))
+        if not self.paths_a or not self.paths_b:
+            raise FileNotFoundError(f"no images under {root}/{phase}A|B")
+        self.batch_size = batch_size
+        self.load_size, self.crop_size = load_size, crop_size
+        self.seed = seed
+
+    def __len__(self):
+        return max(len(self.paths_a), len(self.paths_b)) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        for _ in range(len(self)):
+            a = [_load_transform(self.paths_a[rng.randint(len(self.paths_a))], rng,
+                                 self.load_size, self.crop_size)
+                 for _ in range(self.batch_size)]
+            b = [_load_transform(self.paths_b[rng.randint(len(self.paths_b))], rng,
+                                 self.load_size, self.crop_size)
+                 for _ in range(self.batch_size)]
+            yield {"A": np.stack(a).astype(np.float32),
+                   "B": np.stack(b).astype(np.float32)}
+
+
+class SyntheticPairs:
+    """Deterministic fake A/B pairs in [-1,1] for smoke/bench."""
+
+    def __init__(self, crop_size=64, length=8, batch_size=1, seed=0):
+        self.crop_size = crop_size
+        self.length = length
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def __len__(self):
+        return self.length // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.RandomState(self.seed)
+        s = self.crop_size
+        for _ in range(len(self)):
+            yield {"A": np.clip(rng.randn(self.batch_size, s, s, 3) * 0.5, -1, 1).astype(np.float32),
+                   "B": np.clip(rng.randn(self.batch_size, s, s, 3) * 0.5, -1, 1).astype(np.float32)}

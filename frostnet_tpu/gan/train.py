@@ -1,0 +1,191 @@
+"""Style-transfer QAT trainer (Style_Transfer/train.py:29-116 flow).
+
+StatAssist FP warm-up epochs -> generator optimizer leaves warm-up
+(optimizer_G.is_warmup=False, :62-64) -> QAT epochs where only generator
+cores fake-quant (fuse+prepare_qat on netG.quantized, :66-74 — here: the
+same jitted step with mode=QAT). Only G gets the GradBoost QAdam
+(pix2pix_model.py:68-70); Ds use plain Adam.
+
+Run: python -m frostnet_tpu.gan.train --model pix2pix --dataset synthetic \
+       --epochs 1 --fp_epochs 1 --crop_size 64
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..nn import FP32, QAT
+from ..optim import adam, qadam, set_warmup, get_lr_scheduler
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger
+from .data import AlignedDataset, UnalignedDataset, SyntheticPairs
+from .image_pool import ImagePool
+from .models import NetState, make_net_state, make_pix2pix_steps, make_cyclegan_steps
+from .networks import define_d, define_g
+
+
+@dataclasses.dataclass
+class GANConfig:
+    model: str = "pix2pix"       # 'pix2pix' | 'cycle_gan'
+    dataset: str = "synthetic"
+    data_root: str = "./datasets/facades"
+    netG: str = "resnet_6blocks"
+    gan_mode: str = "lsgan"      # pix2pix reference default is vanilla; lsgan for cyclegan
+    crop_size: int = 256
+    load_size: int = 286
+    batch_size: int = 1
+    epochs: int = 2
+    fp_epochs: int = 1           # --fp_warmup (train_options.py:40)
+    lr: float = 2e-4
+    beta1: float = 0.5
+    lambda_l1: float = 100.0
+    lambda_a: float = 10.0
+    lambda_b: float = 10.0
+    lambda_idt: float = 0.5
+    pool_size: int = 50
+    q_optim: bool = True         # GradBoost QAdam on G (default True)
+    clip_by: float = 1e-3
+    steps_per_epoch: Optional[int] = None
+    seed: int = 0
+    save_dir: str = "./runs/gan"
+
+
+def _dataset(cfg: GANConfig):
+    if cfg.dataset == "synthetic":
+        return SyntheticPairs(cfg.crop_size, cfg.batch_size * (cfg.steps_per_epoch or 4),
+                              cfg.batch_size, cfg.seed)
+    if cfg.model == "cycle_gan":
+        return UnalignedDataset(cfg.data_root, "train", cfg.batch_size,
+                                cfg.load_size, cfg.crop_size, cfg.seed)
+    return AlignedDataset(cfg.data_root, "train", cfg.batch_size,
+                          cfg.load_size, cfg.crop_size, cfg.seed)
+
+
+def _g_optimizer(cfg: GANConfig):
+    if cfg.q_optim:
+        return qadam(cfg.lr, b1=cfg.beta1, clip_by=cfg.clip_by, seed=cfg.seed)
+    return adam(cfg.lr, b1=cfg.beta1)
+
+
+def train_pix2pix(cfg: GANConfig, logger):
+    ds = _dataset(cfg)
+    netG = define_g(netG=cfg.netG, quantized=True)
+    netD = define_d(netD="basic")
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, 3))
+
+    g_state = make_net_state(netG, _g_optimizer(cfg), rng, sample,
+                             init_kwargs={"mode": QAT, "train": True})
+    d_state = make_net_state(netD, adam(cfg.lr, b1=cfg.beta1), rng,
+                             jnp.concatenate([sample, sample], -1),
+                             init_kwargs={"train": True})
+
+    def run_phase(mode, epochs, tag):
+        nonlocal g_state, d_state
+        d_step, g_step = make_pix2pix_steps(netG, netD, mode, cfg.gan_mode, cfg.lambda_l1)
+        for epoch in range(epochs):
+            metrics = {}
+            for i, batch in enumerate(ds):
+                if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
+                    break
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                d_state, md = d_step(g_state, d_state, batch)
+                g_state, mg = g_step(g_state, d_state, batch)
+                metrics = {**{k: float(v) for k, v in md.items()},
+                           **{k: float(v) for k, v in mg.items()}}
+            logger.info(f"[{tag} {epoch}] {metrics}")
+
+    run_phase(FP32, cfg.fp_epochs, "fp_warmup")
+    g_state = g_state.replace(opt_state=set_warmup(g_state.opt_state, False))
+    run_phase(QAT, cfg.epochs, "qat")
+    return g_state, d_state
+
+
+def train_cyclegan(cfg: GANConfig, logger):
+    ds = _dataset(cfg)
+    netG_A = define_g(netG=cfg.netG, quantized=True)
+    netG_B = define_g(netG=cfg.netG, quantized=True)
+    netD_A = define_d(netD="basic")
+    netD_B = define_d(netD="basic")
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, 3))
+
+    g_tx = _g_optimizer(cfg)  # joint over both generators (cycle_gan_model.py:94-95)
+    gA = make_net_state(netG_A, g_tx, rng, sample, init_kwargs={"mode": QAT, "train": True})
+    gB = make_net_state(netG_B, g_tx, jax.random.fold_in(rng, 1), sample,
+                        init_kwargs={"mode": QAT, "train": True})
+    joint_opt_state = g_tx.init((gA.params, gB.params))
+    dA = make_net_state(netD_A, adam(cfg.lr, b1=cfg.beta1), rng, sample,
+                        init_kwargs={"train": True})
+    dB = make_net_state(netD_B, adam(cfg.lr, b1=cfg.beta1),
+                        jax.random.fold_in(rng, 2), sample,
+                        init_kwargs={"train": True})
+    pool_a, pool_b = ImagePool(cfg.pool_size, cfg.seed), ImagePool(cfg.pool_size, cfg.seed + 1)
+
+    def run_phase(mode, epochs, tag):
+        nonlocal gA, gB, dA, dB, joint_opt_state
+        g_step, d_step = make_cyclegan_steps(
+            netG_A, netG_B, netD_A, netD_B, mode, cfg.gan_mode,
+            cfg.lambda_a, cfg.lambda_b, cfg.lambda_idt)
+        for epoch in range(epochs):
+            metrics = {}
+            for i, batch in enumerate(ds):
+                if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
+                    break
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                gA, gB, joint_opt_state, fake_a, fake_b, mg = g_step(
+                    gA, gB, dA, dB, batch, joint_opt_state)
+                fb = jnp.asarray(pool_b.query(np.asarray(fake_b)))
+                fa = jnp.asarray(pool_a.query(np.asarray(fake_a)))
+                dA, loss_da = d_step(dA, batch["B"], fb)
+                dB, loss_db = d_step(dB, batch["A"], fa)
+                metrics = {**{k: float(v) for k, v in mg.items()},
+                           "loss_D_A": float(loss_da), "loss_D_B": float(loss_db)}
+            logger.info(f"[{tag} {epoch}] {metrics}")
+
+    run_phase(FP32, cfg.fp_epochs, "fp_warmup")
+    joint_opt_state = set_warmup(joint_opt_state, False)
+    run_phase(QAT, cfg.epochs, "qat")
+    return (gA, gB), (dA, dB)
+
+
+def main(cfg: GANConfig):
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    logger = MetricLogger(cfg.save_dir, name="gan")
+    logger.info(f"config: {dataclasses.asdict(cfg)}")
+    if cfg.model == "pix2pix":
+        g, d = train_pix2pix(cfg, logger)
+        save_checkpoint(os.path.join(cfg.save_dir, "latest_G"), g)
+    elif cfg.model == "cycle_gan":
+        (gA, gB), _ = train_cyclegan(cfg, logger)
+        save_checkpoint(os.path.join(cfg.save_dir, "latest_G_A"), gA)
+        save_checkpoint(os.path.join(cfg.save_dir, "latest_G_B"), gB)
+    else:
+        raise ValueError(f"unknown model {cfg.model!r}")
+    logger.info("done")
+
+
+def cli():
+    p = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(GANConfig):
+        typ = {"int": int, "float": float, "str": str, "bool": lambda s: s.lower() in ("1", "true"),
+               "Optional[int]": int}.get(str(f.type), str)
+        p.add_argument(f"--{f.name}", type=typ, default=None)
+    args = p.parse_args()
+    cfg = GANConfig()
+    for f in dataclasses.fields(GANConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

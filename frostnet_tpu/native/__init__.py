@@ -1,0 +1,120 @@
+"""Native (C++) runtime components.
+
+``NativeClassificationLoader`` wraps frostnet_tpu/native/dataloader.cpp — a
+GIL-free threaded JPEG decode/augment pipeline (the torch DataLoader worker
+pool equivalent, SURVEY.md §2.6). The shared object is built on demand with
+g++ (libjpeg) and cached next to the source; if the toolchain or libjpeg is
+missing we raise with a pointer to the pure-Python FolderClassification
+fallback.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "dataloader.cpp")
+_SO = os.path.join(_DIR, "_dataloader.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO, "-ljpeg", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        detail = getattr(e, "stderr", str(e))
+        raise RuntimeError(
+            f"native dataloader build failed ({detail}); use "
+            "frostnet_tpu.data.FolderClassification instead") from e
+    return _SO
+
+
+def _load_lib():
+    global _lib
+    with _lib_lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build())
+            lib.fndl_create.restype = ctypes.c_void_p
+            lib.fndl_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_uint, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+            lib.fndl_next.restype = ctypes.c_int
+            lib.fndl_next.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.POINTER(ctypes.c_int)]
+            lib.fndl_destroy.argtypes = [ctypes.c_void_p]
+            lib.fndl_batches_per_epoch.restype = ctypes.c_long
+            lib.fndl_batches_per_epoch.argtypes = [ctypes.c_void_p]
+            _lib = lib
+    return _lib
+
+
+class NativeClassificationLoader:
+    """Iterates {'image': (B,S,S,3) f32, 'label': (B,) i32} batches decoded
+    and augmented by C++ worker threads."""
+
+    def __init__(self, paths: Sequence[str], labels: Sequence[int],
+                 batch_size: int = 64, image_size: int = 224, threads: int = 8,
+                 train: bool = True, seed: int = 0, queue_depth: int = 4,
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+        self.lib = _load_lib()
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self._paths = [p.encode() for p in paths]
+        self._labels = np.asarray(labels, np.int32)
+        self._args = (threads, train, seed, queue_depth,
+                      np.asarray(mean, np.float32), np.asarray(std, np.float32))
+        self._handle: Optional[int] = None
+
+    @classmethod
+    def from_folder(cls, root: str, **kw):
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        c2i = {c: i for i, c in enumerate(classes)}
+        paths, labels = [], []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for f in sorted(os.listdir(cdir)):
+                if f.lower().endswith((".jpg", ".jpeg")):
+                    paths.append(os.path.join(cdir, f))
+                    labels.append(c2i[c])
+        return cls(paths, labels, **kw)
+
+    def __len__(self):
+        return len(self._paths) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        threads, train, seed, qd, mean, std = self._args
+        arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
+        handle = self.lib.fndl_create(
+            arr, self._labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            len(self._paths), self.batch_size, self.image_size, threads,
+            int(train), seed, qd,
+            mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        try:
+            s = self.image_size
+            while True:
+                images = np.empty((self.batch_size, s, s, 3), np.float32)
+                labels = np.empty((self.batch_size,), np.int32)
+                ok = self.lib.fndl_next(
+                    handle, images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+                if not ok:
+                    return
+                yield {"image": images, "label": labels}
+        finally:
+            self.lib.fndl_destroy(handle)

@@ -1,0 +1,249 @@
+"""QConvBNAct — the fused conv+BN(+act) block with optional quantization.
+
+This one module covers the reference's whole fusable-layer vocabulary
+(ConvBNReLU/ConvBN/ConvReLU at frostnet.py:14-60, the _ConvBNReLU family at
+Semantic_Segmentation/model/layers/basic.py:11-229) across all four phases:
+
+  FP32      : conv -> BN -> act                   (StatAssist warm-up)
+  QAT train : the torch.nn.intrinsic.qat.ConvBn2d recipe —
+              sf = gamma / sqrt(running_var + eps)
+              y  = conv(x, fake_quant(W * sf)) / sf
+              y  = BN_batchstats(y); act; fake_quant(act-output)
+  QAT eval  : running-stat BN folded into (W, b), weight fake-quant on the
+              folded weight, activation fake-quant on the output — identical
+              numerics to torch's fused eval path.
+  INT8      : true integer conv (int32 accumulation) with the folded and
+              quantized weights; float epilogue (bias+act) then requantize to
+              the output observer's grid. Heavy compute stays integer for the
+              MXU; the epilogue is XLA-fused.
+
+No ``fuse_modules``/``prepare_qat`` graph rewriting exists — phases differ
+only in the ``QuantMode``/``train`` arguments, and XLA recompiles/folds per
+phase.
+
+Layout: NHWC activations, HWIO weights (TPU-native). BN matches torch
+semantics bit-for-bit: biased batch variance for normalization, unbiased for
+the running estimate, momentum 0.1.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from ..quant import (
+    QConfig,
+    QNNPACK,
+    bn_scale_factor,
+    calculate_qparams,
+    fold_bn,
+    init_observer,
+    quantize,
+)
+from ..quant.qtensor import QTensor
+from .mode import QuantMode
+from .quant_ops import apply_observer
+
+kaiming_normal_fan_out = fnn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def apply_activation(x, act: Optional[str]):
+    if act is None:
+        return x
+    if act == "relu":
+        return fnn.relu(x)
+    if act == "relu6":
+        return jnp.clip(x, 0.0, 6.0)
+    if act == "hswish":
+        return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+    if act == "hsigmoid":
+        return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+    if act == "tanh":
+        return jnp.tanh(x)
+    if act == "sigmoid":
+        return jax.nn.sigmoid(x)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+class QConvBNAct(fnn.Module):
+    """Conv2d + optional BatchNorm + optional activation, quant-aware.
+
+    Args mirror the reference blocks: ``features`` out-channels, square or
+    rect ``kernel_size``, torch-style integer ``padding``, ``groups`` for
+    depthwise. ``use_bn=False`` gives ConvReLU/plain conv. ``quantized=False``
+    pins the block to float even in QAT mode (FP tails, e.g. segmentation
+    project heads — model/mobilenetv3.py:49-67 pattern).
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int], str] = 0
+    dilation: Union[int, Sequence[int]] = 1
+    groups: int = 1
+    use_bn: bool = True
+    use_bias: bool = False
+    act: Optional[str] = "relu"
+    quantized: bool = True
+    qconfig: QConfig = QNNPACK
+    bn_momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    bn_eps: float = 1e-5
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    def _conv(self, x, w, strides, padding, dilation):
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=strides,
+            padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            precision=self.precision,
+        )
+
+    @fnn.compact
+    def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
+        kh, kw = _pair(self.kernel_size)
+        strides = _pair(self.strides)
+        dilation = _pair(self.dilation)
+        if isinstance(self.padding, str):
+            padding = self.padding
+        else:
+            ph, pw = _pair(self.padding)
+            padding = ((ph, ph), (pw, pw))
+
+        in_features = (x.q if isinstance(x, QTensor) else x).shape[-1]
+        w = self.param(
+            "kernel",
+            kaiming_normal_fan_out,
+            (kh, kw, in_features // self.groups, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", fnn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+        if self.use_bn:
+            gamma = self.param("scale", fnn.initializers.ones_init(), (self.features,), jnp.float32)
+            beta = self.param("bias_bn", fnn.initializers.zeros_init(), (self.features,), jnp.float32)
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+            )
+
+        q_on = self.quantized and (mode.fake_quant or mode.observe or mode.int8)
+        wspec = self.qconfig.weight
+        aspec = self.qconfig.activation
+        w_ch_axis = -1 if wspec.per_channel else None
+        if self.quantized:
+            # observer state exists for every quantized block in every mode,
+            # so the 'quant' collection has one stable structure from FP32
+            # warm-up through INT8 freeze (no prepare_qat graph growth).
+            w_obs = self.variable(
+                "quant", "w_obs",
+                lambda: init_observer(self.features if wspec.per_channel else None))
+            act_obs = self.variable("quant", "act_obs", lambda: init_observer(None))
+
+        # ------------------------------------------------------------------
+        # INT8 frozen inference
+        # ------------------------------------------------------------------
+        if q_on and mode.int8:
+            assert isinstance(x, QTensor), "INT8 mode needs a QTensor input (QuantStub upstream)"
+            if self.use_bn:
+                wf, bf = fold_bn(w, bias, gamma, beta, ra_mean.value, ra_var.value, self.bn_eps)
+            else:
+                wf = w
+                bf = bias if bias is not None else jnp.zeros((self.features,), jnp.float32)
+            w_scale, w_zp = calculate_qparams(w_obs.value, wspec)
+            qw = quantize(wf, w_scale, w_zp, wspec, channel_axis=w_ch_axis)
+
+            # Integer conv with int32 accumulation. Zero-point is subtracted
+            # before the conv (exact; zero-padding then contributes 0, which
+            # matches qnnpack's effective -zp padding). The Pallas perf path
+            # keeps operands int8 on the MXU instead; this XLA path is the
+            # portable reference numerics.
+            qx = x.q.astype(jnp.int32) - x.zero_point
+            qwi = qw.astype(jnp.int32)
+            acc = jax.lax.conv_general_dilated(
+                qx, qwi, strides, padding, rhs_dilation=dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32,
+            )
+
+            # float epilogue (XLA fuses): dequant -> bias -> act -> requant
+            w_scale_b = w_scale if w_ch_axis is None else w_scale.reshape((1, 1, 1, -1))
+            y = acc.astype(jnp.float32) * (x.scale * w_scale_b) + bf
+            y = apply_activation(y, self.act)
+            out_scale, out_zp = calculate_qparams(act_obs.value, aspec)
+            return QTensor(quantize(y, out_scale, out_zp, aspec), out_scale, out_zp)
+
+        # ------------------------------------------------------------------
+        # Float / fake-quant paths
+        # ------------------------------------------------------------------
+        if isinstance(x, QTensor):  # pragma: no cover - misuse guard
+            x = x.dequantize()
+
+        if q_on and self.use_bn:
+            if train:
+                # torch nniqat.ConvBn2d._forward_approximate
+                sf = bn_scale_factor(gamma, ra_var.value, self.bn_eps)
+                w_scaled = w * sf.reshape((1, 1, 1, -1))
+                w_q = apply_observer(self, w_obs, w_scaled, wspec, mode, w_ch_axis)
+                y = self._conv(x, w_q, strides, padding, dilation)
+                y = y / sf.reshape((1, 1, 1, -1))
+                if bias is not None:
+                    y = y + bias
+                # batch-stats BN (torch semantics)
+                bmean = jnp.mean(y, axis=(0, 1, 2))
+                bvar = jnp.mean(jnp.square(y - bmean), axis=(0, 1, 2))
+                y = (y - bmean) * jax.lax.rsqrt(bvar + self.bn_eps) * gamma + beta
+                if not self.is_initializing():
+                    n = y.shape[0] * y.shape[1] * y.shape[2]
+                    unbiased = bvar * (n / max(n - 1, 1))
+                    m = self.bn_momentum
+                    ra_mean.value = (1 - m) * ra_mean.value + m * bmean
+                    ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            else:
+                wf, bf = fold_bn(w, bias, gamma, beta, ra_mean.value, ra_var.value, self.bn_eps)
+                w_q = apply_observer(self, w_obs, wf, wspec, mode, w_ch_axis)
+                y = self._conv(x, w_q, strides, padding, dilation) + bf
+        elif q_on:  # quantized conv without BN (ConvReLU / head convs)
+            w_q = apply_observer(self, w_obs, w, wspec, mode, w_ch_axis)
+            y = self._conv(x, w_q, strides, padding, dilation)
+            if bias is not None:
+                y = y + bias
+        else:  # pure float
+            y = self._conv(x, w, strides, padding, dilation)
+            if bias is not None:
+                y = y + bias
+            if self.use_bn:
+                if train:
+                    bmean = jnp.mean(y, axis=(0, 1, 2))
+                    bvar = jnp.mean(jnp.square(y - bmean), axis=(0, 1, 2))
+                    y = (y - bmean) * jax.lax.rsqrt(bvar + self.bn_eps) * gamma + beta
+                    if not self.is_initializing():
+                        n = y.shape[0] * y.shape[1] * y.shape[2]
+                        unbiased = bvar * (n / max(n - 1, 1))
+                        m = self.bn_momentum
+                        ra_mean.value = (1 - m) * ra_mean.value + m * bmean
+                        ra_var.value = (1 - m) * ra_var.value + m * unbiased
+                else:
+                    y = (y - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.bn_eps) * gamma + beta
+
+        y = apply_activation(y, self.act)
+        if q_on:
+            y = apply_observer(self, act_obs, y, aspec, mode)
+        return y

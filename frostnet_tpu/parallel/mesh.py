@@ -1,0 +1,91 @@
+"""Mesh + sharding helpers.
+
+TPU-native replacement for the reference's single-host NCCL DataParallel
+(Classification/train.py:89-92, Object_Detection/qtrainval.py:124-126) and
+the criterion-parallel wrapper (Semantic_Segmentation/utilities/
+parallel_wrapper.py:12-101):
+
+  * one 2-D ``('dp', 'mp')`` mesh over all devices;
+  * batches sharded over ``dp`` — the loss is shard-local by construction
+    (exactly what DataParallelCriteria hand-rolled), and pjit inserts the
+    gradient ``psum`` over ICI;
+  * wide channel dims (the 1280-ch head) optionally sharded over ``mp``
+    (tensor parallelism the reference never had but a pod wants).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+the same program spans hosts, allreduce riding ICI within a slice and DCN
+across slices.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    mp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('dp','mp') mesh. Defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // mp
+    if dp * mp != n:
+        raise ValueError(f"dp*mp = {dp}*{mp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, ("dp", "mp"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch sharded along 'dp' on its leading axis."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/optimizer state default)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# Tensor-parallel sharding rules: param-path regex -> PartitionSpec.
+# Only dims >= 512 channels benefit; FrostNet's 1280-ch head and classifier
+# input are the wide ones.
+DEFAULT_MP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*last_layer.*kernel", P(None, None, None, "mp")),   # HWIO out-ch
+    (r".*classifier.*kernel", P(None, None, "mp", None)),   # HWIO in-ch
+)
+
+
+def shard_params_for_mp(params, mesh: Mesh, rules=DEFAULT_MP_RULES):
+    """Apply TP rules to a param pytree; everything else replicated."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree.structure(params)
+    out = []
+    for path, leaf in flat:
+        pathstr = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = P()
+        if mesh.shape.get("mp", 1) > 1:
+            for pat, s in rules:
+                if re.fullmatch(pat, pathstr):
+                    # only shard when the dim divides evenly
+                    dims = [d for d in s if d is not None]
+                    axis = list(s).index("mp") if "mp" in s else None
+                    if axis is not None and leaf.ndim > axis and leaf.shape[axis] % mesh.shape["mp"] == 0:
+                        spec = s
+                    del dims
+                    break
+        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree.unflatten(treedef, out)
+
+
+def cross_replica_mean(tree, axis_name: str = "dp"):
+    """psum-mean for use inside shard_map'd code (BN stat sync etc.)."""
+    n = jax.lax.psum(1, axis_name)
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis_name) / n, tree)

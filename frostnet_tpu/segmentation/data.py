@@ -1,0 +1,127 @@
+"""Segmentation datasets + paired image/mask transforms.
+
+Re-implements the behavior of Semantic_Segmentation/utilities/
+data_transforms.py:18-166 (paired RandomFlip/RandomScale/RandomCrop/Resize/
+Normalize) and data_loader/segmentation/cityscapes.py:12-89 (train.txt/
+val.txt file-list dataset, 19-class label space with 255 ignore), as
+host-side numpy pipelines. A synthetic source covers smoke/bench runs.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.datasets import IMAGENET_MEAN, IMAGENET_STD
+
+CITYSCAPES_CLASSES = 19
+CITYSCAPES_IGNORE = 255
+# hard-coded class weights from Semantic_Segmentation/train.py:56-76
+CITYSCAPES_CLASS_WEIGHTS = np.array(
+    [2.8149, 6.9850, 3.7890, 9.9428, 9.7702, 9.5111, 10.3113, 10.0264,
+     4.6323, 9.5608, 7.8698, 9.5169, 10.3737, 6.6616, 10.2604, 10.2878,
+     10.2898, 10.4053, 10.1381], np.float32)
+
+
+class PairedTransforms:
+    """Train-time paired augmentation: hflip, scale jitter, crop, normalize."""
+
+    def __init__(self, crop_size=(768, 768), scale=(0.5, 2.0),
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD, ignore=CITYSCAPES_IGNORE):
+        self.crop_size = crop_size
+        self.scale = scale
+        self.mean, self.std = mean, std
+        self.ignore = ignore
+
+    def __call__(self, img: np.ndarray, mask: np.ndarray, rng: np.random.RandomState):
+        from PIL import Image
+
+        if rng.rand() < 0.5:
+            img, mask = img[:, ::-1], mask[:, ::-1]
+        s = rng.uniform(*self.scale)
+        h, w = img.shape[:2]
+        nh, nw = max(int(h * s), 1), max(int(w * s), 1)
+        img = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+        mask = np.asarray(Image.fromarray(mask).resize((nw, nh), Image.NEAREST))
+        ch, cw = self.crop_size
+        if nh < ch or nw < cw:  # pad (image 0, mask ignore)
+            ph, pw = max(ch - nh, 0), max(cw - nw, 0)
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            mask = np.pad(mask, ((0, ph), (0, pw)), constant_values=self.ignore)
+            nh, nw = img.shape[:2]
+        y0 = rng.randint(0, nh - ch + 1)
+        x0 = rng.randint(0, nw - cw + 1)
+        img = img[y0:y0 + ch, x0:x0 + cw]
+        mask = mask[y0:y0 + ch, x0:x0 + cw]
+        img = (img.astype(np.float32) / 255.0 - self.mean) / self.std
+        return img, mask.astype(np.int32)
+
+
+class SyntheticSegmentation:
+    """Deterministic fake (image, mask) stream for smoke tests/bench."""
+
+    def __init__(self, num_classes=19, crop=(96, 96), length=32, batch_size=4, seed=0):
+        self.num_classes = num_classes
+        self.crop = crop
+        self.length = length
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def __len__(self):
+        return self.length // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.RandomState(self.seed)
+        h, w = self.crop
+        for _ in range(len(self)):
+            yield {
+                "image": rng.randn(self.batch_size, h, w, 3).astype(np.float32),
+                "label": rng.randint(0, self.num_classes,
+                                     (self.batch_size, h, w), dtype=np.int32),
+            }
+
+
+class CityscapesSegmentation:
+    """File-list cityscapes dataset (data_loader/segmentation/cityscapes.py):
+    ``root/train.txt`` lines of "img_path,mask_path" (relative to root)."""
+
+    def __init__(self, root, train=True, crop_size=(768, 768), scale=(0.5, 2.0),
+                 batch_size=16, seed=0, coarse=False):
+        self.root = root
+        list_name = "train.txt" if train else "val.txt"
+        list_path = os.path.join(root, list_name)
+        if not os.path.isfile(list_path):
+            raise FileNotFoundError(
+                f"{list_path} missing — place cityscapes file lists there "
+                "(see reference cityscape_scripts/); use SyntheticSegmentation "
+                "for smoke runs.")
+        with open(list_path) as f:
+            self.pairs = [tuple(l.strip().split(",")[:2]) for l in f if l.strip()]
+        self.train = train
+        self.batch_size = batch_size
+        self.seed = seed
+        self.tf = PairedTransforms(crop_size, scale)
+        self.crop_size = crop_size
+
+    def __len__(self):
+        return len(self.pairs) // self.batch_size
+
+    def _load_pair(self, img_p, mask_p, rng):
+        from PIL import Image
+
+        img = np.asarray(Image.open(os.path.join(self.root, img_p)).convert("RGB"))
+        mask = np.asarray(Image.open(os.path.join(self.root, mask_p)))
+        if self.train:
+            return self.tf(img, mask, rng)
+        img = (img.astype(np.float32) / 255.0 - self.tf.mean) / self.tf.std
+        return img, mask.astype(np.int32)
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.pairs)) if self.train else np.arange(len(self.pairs))
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            ims, ms = zip(*[self._load_pair(*self.pairs[i], rng) for i in idx])
+            yield {"image": np.stack(ims).astype(np.float32),
+                   "label": np.stack(ms)}

@@ -1,0 +1,216 @@
+"""Segmentation QAT trainer (Semantic_Segmentation/train.py:32-359 flow).
+
+StatAssist FP warm-up -> QAT with GradBoost, weighted-CE SegmentationLoss,
+on-device confusion-matrix mIoU (replacing the per-batch CPU torch.histc
+host sync, SURVEY.md §3.4), best-mIoU checkpointing, dual QAT/INT8 eval.
+
+Run: python -m frostnet_tpu.segmentation.train --model mobilenetv3_RE_small \
+       --dataset synthetic --epochs 1 --fp_epochs 1
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import prefetch_to_device
+from ..nn import FP32, QAT, QAT_FROZEN, INT8
+from ..optim import get_optimizer, grouped_weight_decay, get_lr_scheduler
+from ..parallel import make_mesh, replicate
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger
+from ..utils.losses import cross_entropy
+from ..utils.metrics import confusion_matrix, miou_from_confusion
+from ..train.state import QATTrainState, create_train_state
+from .data import (
+    CITYSCAPES_CLASS_WEIGHTS,
+    CITYSCAPES_IGNORE,
+    CityscapesSegmentation,
+    SyntheticSegmentation,
+)
+from .models import get_seg_model
+
+
+@dataclasses.dataclass
+class SegConfig:
+    model: str = "mobilenetv3_RE_small"
+    dataset: str = "synthetic"      # 'city' | 'synthetic'
+    data_dir: str = "./data/cityscapes"
+    num_classes: int = 19
+    crop_size: int = 768
+    batch_size: int = 16
+    epochs: int = 2
+    fp_epochs: int = 1
+    optim: str = "QSGD"
+    learning_rate: float = 0.05
+    weight_decay: float = 4e-5
+    clip_by: float = 1e-3
+    scheduler: str = "poly"
+    power: float = 0.9
+    steps_per_epoch: Optional[int] = None
+    seed: int = 42
+    save_dir: str = "./runs/segmentation"
+    ignore_index: int = CITYSCAPES_IGNORE
+
+
+def _dataset(cfg: SegConfig, train: bool):
+    if cfg.dataset == "synthetic":
+        return SyntheticSegmentation(
+            num_classes=cfg.num_classes, crop=(cfg.crop_size, cfg.crop_size),
+            length=cfg.batch_size * (cfg.steps_per_epoch or 4),
+            batch_size=cfg.batch_size, seed=cfg.seed + (not train))
+    return CityscapesSegmentation(
+        cfg.data_dir, train=train, crop_size=(cfg.crop_size, cfg.crop_size),
+        batch_size=cfg.batch_size, seed=cfg.seed)
+
+
+def make_seg_train_step(model, mode, class_weights, ignore_index, num_classes):
+    weights = None if class_weights is None else jnp.asarray(class_weights)
+    mutable = ["batch_stats"] + (["quant"] if mode.observe else [])
+
+    def step(state: QATTrainState, batch):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def compute_loss(params):
+            variables = {"params": params, "batch_stats": state.batch_stats,
+                         "quant": state.quant}
+            logits, updates = model.apply(
+                variables, batch["image"], mode=mode, train=True,
+                mutable=mutable, rngs={"dropout": dropout_rng})
+            loss = cross_entropy(logits, batch["label"], class_weights=weights,
+                                 ignore_index=ignore_index)
+            return loss, (logits, updates)
+
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        opt_updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, opt_updates)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(pred, batch["label"], num_classes, ignore_index)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            quant=updates.get("quant", state.quant),
+            opt_state=opt_state, rng=rng)
+        return new_state, {"loss": loss, "cm": cm}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_seg_eval_step(model, mode, num_classes, ignore_index):
+    def step(state: QATTrainState, batch):
+        logits = model.apply(state.model_variables, batch["image"], mode=mode)
+        pred = jnp.argmax(logits, axis=-1)
+        return confusion_matrix(pred, batch["label"], num_classes, ignore_index)
+
+    return jax.jit(step)
+
+
+def evaluate_seg(model, state, dataset, mesh, mode, cfg, max_steps=None):
+    eval_step = make_seg_eval_step(model, mode, cfg.num_classes, cfg.ignore_index)
+    cm_total = jnp.zeros((cfg.num_classes, cfg.num_classes), jnp.int32)
+    for i, batch in enumerate(prefetch_to_device(iter(dataset), mesh)):
+        if max_steps is not None and i >= max_steps:
+            break
+        cm_total = cm_total + eval_step(state, batch)
+    iou, miou = miou_from_confusion(cm_total)
+    return {"miou": float(miou), "iou": np.asarray(iou)}
+
+
+def main(cfg: SegConfig):
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    logger = MetricLogger(cfg.save_dir, name="seg")
+    with open(os.path.join(cfg.save_dir, "arguments.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)  # train.py:196-201
+
+    mesh = make_mesh()
+    train_ds = _dataset(cfg, True)
+    val_ds = _dataset(cfg, False)
+    steps_per_epoch = cfg.steps_per_epoch or len(train_ds)
+    total_steps = (cfg.fp_epochs + cfg.epochs) * steps_per_epoch
+
+    model = get_seg_model(cfg.model, num_classes=cfg.num_classes,
+                          dataset="city" if cfg.dataset != "synthetic" else "city")
+    schedule = get_lr_scheduler(cfg.scheduler, base_lr=cfg.learning_rate,
+                                total_steps=total_steps, power=cfg.power) \
+        if cfg.scheduler == "poly" else get_lr_scheduler(
+            cfg.scheduler, base_lr=cfg.learning_rate, total_steps=total_steps)
+    tx = get_optimizer(cfg.optim, schedule,
+                       weight_decay=grouped_weight_decay(cfg.weight_decay),
+                       **({"clip_by": cfg.clip_by} if cfg.optim.startswith("Q") else {}))
+
+    class_weights = CITYSCAPES_CLASS_WEIGHTS if cfg.dataset == "city" else None
+    sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(cfg.seed), sample,
+                               init_kwargs={"mode": QAT, "train": True})
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh),
+        quant=replicate(state.quant, mesh),
+        opt_state=replicate(state.opt_state, mesh))
+
+    def run_epoch(step_fn, tag, epoch):
+        nonlocal state
+        cm_total = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
+        losses = []
+        for i, batch in enumerate(prefetch_to_device(iter(train_ds), mesh)):
+            if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
+                break
+            state, m = step_fn(state, batch)
+            losses.append(float(m["loss"]))
+            cm_total += np.asarray(m["cm"], np.int64)
+        _, miou = miou_from_confusion(jnp.asarray(cm_total))
+        logger.info(f"[{tag} {epoch}] loss={np.mean(losses):.4f} miou={float(miou):.4f}")
+
+    fp_step = make_seg_train_step(model, FP32, class_weights, cfg.ignore_index, cfg.num_classes)
+    for epoch in range(cfg.fp_epochs):
+        run_epoch(fp_step, "fp_warmup", epoch)
+    state = state.start_qat()
+
+    qat_step = make_seg_train_step(model, QAT, class_weights, cfg.ignore_index, cfg.num_classes)
+    best = -1.0
+    for epoch in range(cfg.epochs):
+        run_epoch(qat_step, "qat", epoch)
+        val = evaluate_seg(model, state, val_ds, mesh, QAT_FROZEN, cfg, cfg.steps_per_epoch)
+        logger.info(f"[val {epoch}] miou={val['miou']:.4f}")
+        save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"), state)
+        if val["miou"] > best:
+            best = val["miou"]
+            save_checkpoint(os.path.join(cfg.save_dir, "best"), state)
+
+    qat = evaluate_seg(model, state, val_ds, mesh, QAT_FROZEN, cfg, cfg.steps_per_epoch)
+    int8 = evaluate_seg(model, state, val_ds, mesh, INT8, cfg, cfg.steps_per_epoch)
+    logger.info(f"mIoU(QAT sim)={qat['miou']:.4f}  mIoU(INT8 frozen)={int8['miou']:.4f}")
+    return state, {"qat": qat, "int8": int8}
+
+
+def cli():
+    p = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(SegConfig):
+        t = {int: int, float: float, str: str}.get(f.type if isinstance(f.type, type) else str, str)
+        if f.name == "steps_per_epoch":
+            p.add_argument("--steps_per_epoch", type=int, default=None)
+        else:
+            p.add_argument(f"--{f.name}", type={"int": int, "float": float, "str": str,
+                                                "Optional[int]": int}.get(str(f.type), str),
+                           default=None)
+    args = p.parse_args()
+    cfg = SegConfig()
+    for f in dataclasses.fields(SegConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,91 @@
+"""Standalone classification evaluator (reference Classification/evaluate.py).
+
+Loads a QAT checkpoint, runs a 1-batch calibration pass (train_one_iter,
+helper_functions.py:166-230), then reports the dual-accuracy contract:
+Accuracy(QAT sim) vs Accuracy(INT8 frozen) — plus frozen INT8 model size
+(print_size_of_model, evaluate.py:117-120).
+
+Run: python -m frostnet_tpu.train.evaluate --model frostnet_quant_small_0_35 \
+       --checkpoint runs/classification/best --dataset synthetic
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import SyntheticClassification, FolderClassification, prefetch_to_device
+from ..models import create_model
+from ..nn import QAT, QAT_FROZEN, INT8
+from ..optim import get_optimizer
+from ..parallel import make_mesh
+from ..utils.checkpoint import restore_checkpoint
+from ..utils.logging import MetricLogger
+from .classification import evaluate
+from .state import create_train_state, make_train_step
+
+
+def int8_model_size_bytes(model, state) -> int:
+    """Size of the frozen INT8 parameter set: int8 weights + f32 scales/bias
+    (the qnnpack state-dict equivalent saved at evaluate.py:140-143)."""
+    total = 0
+    for p in jax.tree.leaves(state.params):
+        if p.ndim == 4:  # conv kernels freeze to int8
+            total += int(np.prod(p.shape))
+        else:            # biases/BN fold into f32 per-channel terms
+            total += int(np.prod(p.shape)) * 4
+    return total
+
+
+def main(args):
+    logger = MetricLogger(None, name="evaluate")
+    mesh = make_mesh()
+    model = create_model(args.model, num_classes=args.num_classes)
+    tx = get_optimizer("QSGD", 1e-3)
+
+    if args.dataset == "synthetic":
+        ds = SyntheticClassification(args.num_classes, args.image_size,
+                                     args.batch_size * 4, args.batch_size, 1)
+    else:
+        ds = FolderClassification(os.path.join(args.data_dir, args.dataset, "val"),
+                                  args.image_size, args.batch_size, train=False)
+
+    sample = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
+                               init_kwargs={"mode": QAT, "train": True})
+    if args.checkpoint:
+        state = restore_checkpoint(args.checkpoint, state)
+    else:
+        # calibration: one train iteration (evaluate.py:108-110)
+        step = make_train_step(model, QAT, num_classes=args.num_classes, donate=False)
+        batch = next(iter(prefetch_to_device(iter(ds), mesh)))
+        state, _ = step(state, batch)
+
+    qat = evaluate(model, state, ds, mesh, QAT_FROZEN, args.num_classes)
+    int8 = evaluate(model, state, ds, mesh, INT8, args.num_classes)
+    logger.info(f"Accuracy(QAT sim): top1={qat.get('top1', 0):.4f} "
+                f"top5={qat.get('top5', 0):.4f}")
+    logger.info(f"Accuracy(INT8 frozen): top1={int8.get('top1', 0):.4f} "
+                f"top5={int8.get('top5', 0):.4f}")
+    size_mb = int8_model_size_bytes(model, state) / 1e6
+    logger.info(f"INT8 model size: {size_mb:.2f} MB")
+    return {"qat": qat, "int8": int8, "int8_size_mb": size_mb}
+
+
+def cli():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="frostnet_quant_large_1_0")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--data_dir", default="./data")
+    p.add_argument("--num_classes", type=int, default=1000)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--batch_size", type=int, default=64)
+    main(p.parse_args())
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,151 @@
+"""QAT training state and step factories.
+
+The reference's phase machinery (FP warm-up loop -> is_warmup=False ->
+fuse/prepare_qat -> QAT loop; Classification/train.py:149-240) becomes:
+
+  * one :class:`QATTrainState` pytree holding params, BN stats, observer
+    state, optimizer state, step counter and PRNG key — all device-resident,
+    sharded/replicated over the mesh;
+  * :func:`make_train_step` builds a jitted (state, batch) -> (state, metrics)
+    step for a given :class:`QuantMode`; the FP32 and QAT phases are two
+    compilations of the same function, not two module graphs;
+  * the StatAssist hand-off is ``state.replace(opt_state=set_warmup(...))``.
+
+Data parallelism: batches arrive sharded over the mesh's 'dp' axis; XLA
+inserts the gradient psum (replacing DataParallel scatter/gather and
+DataParallelCriteria's loss-parallel trick, SURVEY.md §2.7).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nn.mode import QuantMode, FP32, QAT
+from ..optim import set_warmup
+from ..utils.losses import cross_entropy
+from ..utils.metrics import topk_accuracy
+
+
+@flax.struct.dataclass
+class QATTrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    quant: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @property
+    def model_variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        if self.quant:
+            v["quant"] = self.quant
+        return v
+
+    def start_qat(self) -> "QATTrainState":
+        """StatAssist hand-off: end the FP warm-up phase."""
+        return self.replace(opt_state=set_warmup(self.opt_state, False))
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    sample_input: jnp.ndarray,
+    init_kwargs: Optional[dict] = None,
+) -> QATTrainState:
+    # jit the whole init: flax's eager init dispatches hundreds of tiny
+    # primitive compiles (slow fixed overhead per compile on CPU; wasteful on
+    # TPU too) — one compiled program is ~8x faster and persistently cached.
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, **(init_kwargs or {}))
+    )(rng, sample_input)
+    params = variables["params"]
+    return QATTrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        quant=variables.get("quant", {}),
+        opt_state=tx.init(params),
+        rng=rng,
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model,
+    mode: QuantMode,
+    loss_fn: Optional[Callable] = None,
+    num_classes: Optional[int] = None,
+    label_smoothing: float = 0.0,
+    donate: bool = True,
+):
+    """Jitted classification train step for one phase.
+
+    ``loss_fn(outputs, batch) -> scalar`` overrides the default CE-on-labels.
+    Metrics: loss, top1, top5 (reference train loop, helper_functions.py:99-163).
+    """
+
+    if loss_fn is None:
+        def loss_fn(outputs, batch):
+            return cross_entropy(outputs, batch["label"], label_smoothing=label_smoothing)
+
+    mutable = ["batch_stats"] + (["quant"] if (mode.observe) else [])
+
+    def step(state: QATTrainState, batch):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def compute_loss(params):
+            variables = {"params": params, "batch_stats": state.batch_stats,
+                         "quant": state.quant}
+            outputs, updates = model.apply(
+                variables, batch["image"], mode=mode, train=True,
+                mutable=mutable, rngs={"dropout": dropout_rng})
+            loss = loss_fn(outputs, batch)
+            return loss, (outputs, updates)
+
+        (loss, (outputs, updates)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        opt_updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, opt_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            quant=updates.get("quant", state.quant),
+            opt_state=opt_state,
+            rng=rng,
+        )
+        metrics = {"loss": loss}
+        if outputs.ndim == 2 and num_classes:
+            top1, top5 = topk_accuracy(outputs, batch["label"], (1, min(5, num_classes)))
+            metrics.update(top1=top1, top5=top5)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, mode: QuantMode, num_classes: Optional[int] = None):
+    """Jitted eval step -> metrics dict (reference val(),
+    helper_functions.py:306-350)."""
+
+    def step(state: QATTrainState, batch):
+        outputs = model.apply(state.model_variables, batch["image"], mode=mode)
+        loss = cross_entropy(outputs, batch["label"])
+        metrics = {"loss": loss}
+        if outputs.ndim == 2:
+            top1, top5 = topk_accuracy(
+                outputs, batch["label"], (1, min(5, num_classes or outputs.shape[-1])))
+            metrics.update(top1=top1, top5=top5)
+        return metrics
+
+    return jax.jit(step)

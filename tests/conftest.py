@@ -14,5 +14,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# NOTE: the JAX_PLATFORMS env var is ignored by this jax build (the 'axon'
+# TPU plugin still wins); the config flag below is what actually forces the
+# virtual 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
 # Full f32 accumulation so golden tests against torch CPU are bit-stable.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# CPU XLA compiles convs slowly (~1-2s each); persist compiled executables
+# across test processes so the suite stays fast after the first run.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

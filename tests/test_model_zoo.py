@@ -1,0 +1,81 @@
+"""Model-zoo coverage: every family builds, traces in QAT mode, and matches
+the reference/torchvision parameter counts where an oracle exists.
+
+Trace-only (jax.eval_shape) so the suite stays fast: forward execution of the
+block machinery is covered by test_frostnet_model.py end-to-end.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frostnet_tpu import nn as fnn_q
+from frostnet_tpu.models import create_model, list_models
+
+
+def param_count(model, size=64):
+    shapes = jax.eval_shape(
+        lambda k, x: model.init(k, x, mode=fnn_q.QAT, train=True),
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"]))
+
+
+@pytest.mark.parametrize("name,size", [
+    ("qmobilenet_v2_ReLU", 64),
+    ("qmobilenet_v3_large_HS", 64),
+    ("qmobilenet_v3_small_ReLU", 64),
+    ("qresnet18", 64),
+    ("qresnet50", 64),
+    ("qshufflenet_v2_x1_0", 64),
+    ("qvgg16", 224),
+    ("qalexnet", 224),
+])
+def test_zoo_traces_in_qat(name, size):
+    model = create_model(name, num_classes=10)
+    shapes = jax.eval_shape(
+        lambda k, x: model.init(k, x, mode=fnn_q.QAT, train=True),
+        jax.random.PRNGKey(0), jnp.zeros((2, size, size, 3)))
+    assert "quant" in shapes and "params" in shapes
+
+
+# torchvision is not installed in this image; these are the canonical
+# published parameter counts for the torchvision architectures the reference
+# wraps (Classification/models/imagenet/*).
+CANONICAL_PARAMS = {
+    "qmobilenet_v2_ReLU": 3_504_872,
+    "qresnet18": 11_689_512,
+    "qresnet50": 25_557_032,
+    "qshufflenet_v2_x1_0": 2_278_604,
+    "qvgg16": 138_357_544,
+    "qalexnet": 61_100_840,
+}
+
+
+@pytest.mark.parametrize("name,want", sorted(CANONICAL_PARAMS.items()))
+def test_param_count_matches_canonical(name, want):
+    size = 224 if name in ("qvgg16", "qalexnet") else 64
+    got = param_count(create_model(name, num_classes=1000), size=size)
+    assert got == want, (name, got, want)
+
+
+def test_mobilenetv3_param_count_matches_reference():
+    """Oracle: the reference's own quantizable MobileNetV3
+    (Classification/models/imagenet/mobilenetv3.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mbv3", "/root/reference/Classification/models/imagenet/mobilenetv3.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for m, ro in (("large", False), ("small", False), ("large", True)):
+        tmodel = mod.MobileNetV3(nclass=1000, mode=m, RE=ro)
+        want = sum(p.numel() for p in tmodel.parameters())
+        got = param_count(create_model(
+            f"qmobilenet_v3_{m}_{'ReLU' if ro else 'HS'}", num_classes=1000))
+        assert got == want, (m, ro, got, want)
+
+
+def test_zoo_registry_size():
+    names = list_models()
+    # 30 frostnet + mbv2(6) + mbv3(8) + resnet(12) + shufflenet(8) + vgg(16) + alexnet(2)
+    assert len(names) >= 80

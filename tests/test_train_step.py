@@ -1,0 +1,69 @@
+"""End-to-end smoke: StatAssist warm-up -> QAT -> eval on the 8-device CPU
+mesh (the reference's train_one_iter smoke pattern, helper_functions.py:166-230,
+plus multi-device coverage the reference never had)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frostnet_tpu.data import SyntheticClassification, prefetch_to_device
+from frostnet_tpu.models import create_model
+from frostnet_tpu.nn import FP32, QAT, QAT_FROZEN
+from frostnet_tpu.optim import get_optimizer, grouped_weight_decay, GradBoostState
+from frostnet_tpu.parallel import make_mesh, replicate, shard_batch
+from frostnet_tpu.train import create_train_state, make_train_step, make_eval_step
+
+
+def test_statassist_qat_train_steps_on_mesh():
+    assert jax.device_count() == 8
+    mesh = make_mesh()  # 8-way dp
+    model = create_model("frostnet_quant_small_0_35", num_classes=10)
+    tx = get_optimizer("QSGD", 0.01, weight_decay=grouped_weight_decay(4e-5))
+
+    ds = SyntheticClassification(num_classes=10, image_size=32, length=64,
+                                 batch_size=16, seed=0)
+    sample = jnp.zeros((16, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh),
+        quant=replicate(state.quant, mesh),
+        opt_state=replicate(state.opt_state, mesh))
+
+    # FP warm-up: one step
+    fp_step = make_train_step(model, FP32, num_classes=10)
+    batches = list(prefetch_to_device(iter(ds), mesh))
+    state, metrics = fp_step(state, batches[0])
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+    # warm-up tracked gradient stats
+    gb = [s for s in jax.tree.leaves(
+        state.opt_state, is_leaf=lambda s: isinstance(s, GradBoostState))
+        if isinstance(s, GradBoostState)][0]
+    assert bool(gb.is_warmup)
+    assert any(float(jnp.max(m)) > 0 for m in jax.tree.leaves(gb.exp_max))
+
+    # hand-off + QAT step
+    state = state.start_qat()
+    qat_step = make_train_step(model, QAT, num_classes=10)
+    state, metrics = qat_step(state, batches[1])
+    assert np.isfinite(float(metrics["loss"]))
+
+    gb2 = [s for s in jax.tree.leaves(
+        state.opt_state, is_leaf=lambda s: isinstance(s, GradBoostState))
+        if isinstance(s, GradBoostState)][0]
+    assert not bool(gb2.is_warmup)
+    assert int(gb2.restart_step) == 1
+
+    # eval in QAT-sim mode
+    eval_step = make_eval_step(model, QAT_FROZEN, num_classes=10)
+    m = eval_step(state, batches[2])
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_batch_sharding_over_dp():
+    mesh = make_mesh()
+    batch = {"image": np.zeros((16, 8, 8, 3), np.float32),
+             "label": np.zeros((16,), np.int32)}
+    sharded = shard_batch(batch, mesh)
+    assert len(sharded["image"].sharding.device_set) == 8
