@@ -102,6 +102,16 @@ for _m in ("large", "small"):
 SEG_MODELS["mobilenetv2"] = lambda **kw: MobileNetV2Seg(**{"num_classes": 19, **kw})
 
 
+def _espnetv2(**kw):
+    from .espnet import ESPNetv2Seg
+
+    kw.setdefault("num_classes", 20)
+    return ESPNetv2Seg(**kw)
+
+
+SEG_MODELS["espnetv2"] = _espnetv2
+
+
 def get_seg_model(name: str, **kwargs):
     """Dispatch mirroring Semantic_Segmentation/train.py:91-126 model names."""
     try:
