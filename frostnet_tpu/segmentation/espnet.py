@@ -294,3 +294,135 @@ class ESPNetv2Seg(fnn.Module):
                          quantized=False, name="classifier")(out, mode, train)
         h, w = out.shape[1:3]
         return resize_bilinear(out, (h * 2, w * 2), align_corners=True)
+
+
+# ===========================================================================
+# ESPNet (v1)
+# ===========================================================================
+
+
+class ESPBlock(fnn.Module):
+    """DilatedParllelResidualBlockB (backbones/espnet.py:58-122): 1x1 reduce,
+    five parallel dilated convs (d=1,2,4,8,16, no BN), hierarchical observed
+    adds, concat, optional residual, CBR merge."""
+
+    out_channels: int
+    reduce_kernel: int = 1      # DownSamplerB uses a strided 3x3 reduce
+    reduce_stride: int = 1
+    residual: bool = True
+    quantized: bool = True
+    qconfig: QConfig = QNNPACK
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
+        kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype)
+        n = self.out_channels // 5
+        n1 = self.out_channels - 4 * n
+        pad = (self.reduce_kernel - 1) // 2
+        r = QConvBNAct(n, self.reduce_kernel, strides=self.reduce_stride,
+                       padding=pad, act=None, use_bn=False, name="c1", **kw)(
+            x, mode, train)
+        branches = []
+        for i, d in enumerate((1, 2, 4, 8, 16)):
+            c = n1 if i == 0 else n
+            branches.append(QConvBNAct(c, 3, padding=d, dilation=d, act=None,
+                                       use_bn=False, name=f"d{d}", **kw)(
+                r, mode, train))
+        adds = [branches[1]]
+        for i in range(2, 5):
+            adds.append(QAdd(self.qconfig, name=f"quant_add{i}")(adds[-1], branches[i], mode)
+                        if self.quantized else adds[-1] + branches[i])
+        combine = ([branches[0]] + adds)
+        out = (QCat(self.qconfig, name="quant_cat")(combine, mode, axis=-1)
+               if self.quantized else jnp.concatenate(
+                   [b.dequantize() if isinstance(b, QTensor) else b for b in combine], -1))
+        if self.residual and self.reduce_stride == 1:
+            out = (QAdd(self.qconfig, name="skip_add")(x, out, mode)
+                   if self.quantized else x + out)
+        return QConvBNAct(self.out_channels, 1, act="relu", name="cbr", **kw)(
+            out, mode, train)
+
+
+def _input_projection(x, times: int):
+    """InputProjectionA (backbones/espnet.py:124-147): repeated avg-pool."""
+    for _ in range(times):
+        x = _avg_pool_3x3_s2(x)
+    return x
+
+
+class ESPNetSeg(fnn.Module):
+    """ESPNet (v1) segmentation (model/espnet.py:22-145): ESPNet-C encoder
+    with input reinforcement + light-weight decoder with RUM upsampling.
+    Quant region covers everything except the final 1x1 classifier."""
+
+    num_classes: int = 20
+    p: int = 2
+    q: int = 8
+    quantized: bool = True
+    qconfig: QConfig = QNNPACK
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
+        kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype)
+        nc = self.num_classes
+
+        def cat(xs, name):
+            return (QCat(self.qconfig, name=name)(xs, mode, axis=-1)
+                    if self.quantized else jnp.concatenate(
+                        [v.dequantize() if isinstance(v, QTensor) else v for v in xs], -1))
+
+        def up2(t, name):
+            tf = dequant(t) if isinstance(t, QTensor) else t
+            y = resize_bilinear(tf, (tf.shape[1] * 2, tf.shape[2] * 2),
+                                align_corners=True)
+            if self.quantized:
+                y = QuantStub(self.qconfig, name=name)(y, mode)
+            return y
+
+        if self.quantized:
+            x = QuantStub(self.qconfig, name="quant")(x, mode)
+
+        # encoder (backbones/espnet.py:149-211)
+        out0 = QConvBNAct(16, 3, strides=2, padding=1, act="relu",
+                          name="level1", **kw)(x, mode, train)
+        inp1 = _input_projection(x, 1)
+        inp2 = _input_projection(x, 2)
+        out0_cat = QConvBNAct(19, 1, act="relu", name="b1", **kw)(
+            cat([out0, inp1], "quant_cat_e1"), mode, train)
+        out1_0 = ESPBlock(64, reduce_kernel=3, reduce_stride=2, residual=False,
+                          name="level2_0", **kw)(out0_cat, mode, train)
+        h = out1_0
+        for i in range(self.p):
+            h = ESPBlock(64, name=f"level2_blk{i}", **kw)(h, mode, train)
+        out1_cat = QConvBNAct(131, 1, act="relu", name="b2", **kw)(
+            cat([h, out1_0, inp2], "quant_cat_e2"), mode, train)
+        out2_0 = ESPBlock(128, reduce_kernel=3, reduce_stride=2, residual=False,
+                          name="level3_0", **kw)(out1_cat, mode, train)
+        h = out2_0
+        for i in range(self.q):
+            h = ESPBlock(128, name=f"level3v1_blk{i}", **kw)(h, mode, train)
+        out2_cat = QConvBNAct(256, 1, act="relu", name="b3", **kw)(
+            cat([out2_0, h], "quant_cat_e3"), mode, train)
+
+        # decoder (model/espnet.py:67-111)
+        enc_cls = QConvBNAct(nc, 1, act=None, use_bn=False, name="enc_classifier",
+                             **kw)(out2_cat, mode, train)
+        l3 = up2(QConvBNAct(nc, 1, act=None, name="b", **kw)(enc_cls, mode, train),
+                 "requant_l3")
+        out2_c = QConvBNAct(nc, 1, act="relu", name="up_l3", **kw)(l3, mode, train)
+        out1_c = QConvBNAct(nc, 1, act=None, use_bn=False, name="level3_C", **kw)(
+            out1_cat, mode, train)
+        l2 = up2(ESPBlock(nc, residual=False, name="combine_l2_l3", **kw)(
+            cat([out1_c, out2_c], "quant_cat_d1"), mode, train), "requant_l2")
+        comb = QConvBNAct(nc, 1, act="relu", name="up_l2", **kw)(l2, mode, train)
+        feat = QConvBNAct(nc, 3, padding=1, act="relu", name="conv", **kw)(
+            cat([comb, out0_cat], "quant_cat_d2"), mode, train)
+        featf = dequant(feat)
+        feat = resize_bilinear(featf, (featf.shape[1] * 2, featf.shape[2] * 2),
+                               align_corners=True)
+
+        # float tail classifier (model/espnet.py:130-139)
+        return QConvBNAct(nc, 1, act=None, use_bn=False, use_bias=False,
+                          quantized=False, name="classifier")(feat, mode, train)

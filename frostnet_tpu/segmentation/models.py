@@ -112,6 +112,16 @@ def _espnetv2(**kw):
 SEG_MODELS["espnetv2"] = _espnetv2
 
 
+def _espnet(**kw):
+    from .espnet import ESPNetSeg
+
+    kw.setdefault("num_classes", 20)
+    return ESPNetSeg(**kw)
+
+
+SEG_MODELS["espnet"] = _espnet
+
+
 def get_seg_model(name: str, **kwargs):
     """Dispatch mirroring Semantic_Segmentation/train.py:91-126 model names."""
     try:

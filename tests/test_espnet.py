@@ -50,6 +50,21 @@ def test_espnetv2_seg_param_parity(ref_pkg):
     assert got == want, (got, want)
 
 
+def test_espnetv1_param_parity_and_geometry(ref_pkg):
+    import model.espnet as v1
+
+    from frostnet_tpu.segmentation.espnet import ESPNetSeg
+
+    want = sum(p.numel() for p in v1.ESPNetSeg(classes=20, p=2, q=8).parameters())
+    m = ESPNetSeg(num_classes=20, p=2, q=8)
+    got, v = _count(m, jnp.zeros((1, 64, 64, 3)))
+    assert got == want, (got, want)
+    v0 = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), v)
+    out = jax.eval_shape(lambda vv, xx: m.apply(vv, xx, mode=fnn_q.FP32),
+                         v0, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64, 20)
+
+
 def test_espnetv2_seg_geometry():
     m = ESPNetv2Seg(num_classes=20, s=1.0)
     x = jnp.zeros((1, 64, 64, 3))
