@@ -48,13 +48,27 @@ CANONICAL_PARAMS = {
     "qshufflenet_v2_x1_0": 2_278_604,
     "qvgg16": 138_357_544,
     "qalexnet": 61_100_840,
+    # FP-only baselines (reference Classification/models/imagenet/FP_only/*)
+    "densenet121": 7_978_856,
+    "squeezenet1_0": 1_248_424,
+    "squeezenet1_1": 1_235_496,
+    "mnasnet1_0": 4_383_312,
+    "inception_v3": 23_834_568,  # torchvision without aux classifier
 }
 
 
 @pytest.mark.parametrize("name,want", sorted(CANONICAL_PARAMS.items()))
 def test_param_count_matches_canonical(name, want):
-    size = 224 if name in ("qvgg16", "qalexnet") else 64
-    got = param_count(create_model(name, num_classes=1000), size=size)
+    size = {"qvgg16": 224, "qalexnet": 224, "inception_v3": 299}.get(name, 64)
+    model = create_model(name, num_classes=1000)
+    if name in ("densenet121", "squeezenet1_0", "squeezenet1_1", "mnasnet1_0",
+                "inception_v3"):
+        shapes = jax.eval_shape(
+            lambda k, x: model.init(k, x, train=True),
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+        got = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"]))
+    else:
+        got = param_count(model, size=size)
     assert got == want, (name, got, want)
 
 
