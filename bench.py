@@ -38,23 +38,28 @@ def main():
     from frostnet_tpu.train import create_train_state, make_train_step
 
     n_chips = jax.device_count()
-    mesh = make_mesh()
     model = create_model("frostnet_quant_large_1_0", num_classes=1000,
                          dtype=jnp.bfloat16)
     tx = get_optimizer("QSGD", 0.04, weight_decay=grouped_weight_decay(4e-5))
 
     sample = jnp.zeros((BATCH, IMAGE, IMAGE, 3), jnp.float32)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
-    state = state.replace(
-        params=replicate(state.params, mesh),
-        batch_stats=replicate(state.batch_stats, mesh),
-        quant=replicate(state.quant, mesh),
-        opt_state=replicate(state.opt_state, mesh),
-    ).start_qat()
-
-    batch = shard_batch(
-        {"image": jnp.ones((BATCH, IMAGE, IMAGE, 3), jnp.float32),
-         "label": jnp.zeros((BATCH,), jnp.int32)}, mesh)
+    batch = {"image": jnp.ones((BATCH, IMAGE, IMAGE, 3), jnp.float32),
+             "label": jnp.zeros((BATCH,), jnp.int32)}
+    if n_chips > 1:
+        # multi-chip: dp-shard the batch, replicate state over the mesh.
+        # (single-chip skips NamedSharding entirely — the axon single-device
+        # path executes sharding-annotated programs an order of magnitude
+        # slower, measured r1.)
+        mesh = make_mesh()
+        state = state.replace(
+            params=replicate(state.params, mesh),
+            batch_stats=replicate(state.batch_stats, mesh),
+            quant=replicate(state.quant, mesh),
+            opt_state=replicate(state.opt_state, mesh),
+        )
+        batch = shard_batch(batch, mesh)
+    state = state.start_qat()
 
     step = make_train_step(model, QAT, num_classes=1000)
     state, _ = step(state, batch)  # compile + 1 step

@@ -132,3 +132,109 @@ def download_data(name: str, data_dir: str):
             "egress — place the extracted dataset there, or use "
             "--dataset synthetic for smoke runs.")
     return path
+
+
+class CIFARClassification:
+    """CIFAR-10/100 from the standard python pickle batches
+    (cifar-10-batches-py/ or cifar-100-python/), matching the torchvision
+    transforms the reference uses (data_functions.py cifar branches):
+    train = pad-4 random crop 32 + hflip + normalize."""
+
+    MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
+    STD = np.array([0.2023, 0.1994, 0.2010], np.float32)
+
+    def __init__(self, root, train=True, batch_size=128, seed=0, cifar100=False):
+        import pickle
+
+        sub = "cifar-100-python" if cifar100 else "cifar-10-batches-py"
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                f"{base} missing — place the extracted CIFAR archive there "
+                "(no network egress on this host).")
+        if cifar100:
+            files = ["train"] if train else ["test"]
+            label_key = b"fine_labels"
+        else:
+            files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+            label_key = b"labels"
+        xs, ys = [], []
+        for f in files:
+            with open(os.path.join(base, f), "rb") as fh:
+                d = pickle.load(fh, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.append(np.asarray(d[label_key]))
+        self.images = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        self.labels = np.concatenate(ys).astype(np.int32)
+        self.train = train
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_classes = 100 if cifar100 else 10
+
+    def __len__(self):
+        return len(self.images) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.images)) if self.train else np.arange(len(self.images))
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            imgs = self.images[idx].astype(np.float32) / 255.0
+            if self.train:
+                out = np.empty_like(imgs)
+                padded = np.pad(imgs, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="constant")
+                for i in range(len(imgs)):
+                    y0, x0 = rng.randint(0, 9), rng.randint(0, 9)
+                    im = padded[i, y0:y0 + 32, x0:x0 + 32]
+                    if rng.rand() < 0.5:
+                        im = im[:, ::-1]
+                    out[i] = im
+                imgs = out
+            imgs = (imgs - self.MEAN) / self.STD
+            yield {"image": imgs.astype(np.float32), "label": self.labels[idx]}
+
+
+class MNISTClassification:
+    """MNIST/FashionMNIST from the idx-ubyte files, 3-channel-expanded so the
+    RGB conv stems apply (the reference normalizes to torchvision's MNIST
+    transforms, data_functions.py mnist branch)."""
+
+    def __init__(self, root, train=True, batch_size=128, seed=0):
+        import gzip
+        import struct
+
+        prefix = "train" if train else "t10k"
+
+        def read_idx(name):
+            path = os.path.join(root, name)
+            opener = gzip.open if path.endswith(".gz") else open
+            if not os.path.exists(path) and os.path.exists(path + ".gz"):
+                path += ".gz"
+                opener = gzip.open
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"{path} missing (no network egress).")
+            with opener(path, "rb") as f:
+                header = f.read(4)  # idx magic: 0, 0, dtype, ndim
+                ndim = header[3]
+                dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+                return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+        self.images = read_idx(f"{prefix}-images-idx3-ubyte")
+        self.labels = read_idx(f"{prefix}-labels-idx1-ubyte").astype(np.int32)
+        self.train = train
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_classes = 10
+
+    def __len__(self):
+        return len(self.images) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.images)) if self.train else np.arange(len(self.images))
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            imgs = self.images[idx].astype(np.float32) / 255.0
+            imgs = (imgs - 0.1307) / 0.3081
+            imgs = np.repeat(imgs[..., None], 3, axis=-1)
+            yield {"image": imgs.astype(np.float32), "label": self.labels[idx]}

@@ -206,3 +206,64 @@ class SyntheticDetection:
                 gbs.append(gb); gls.append(gl); gvs.append(gv)
             yield {"image": images, "boxes": np.stack(gbs),
                    "labels": np.stack(gls), "valid": np.stack(gvs)}
+
+
+class COCODetection:
+    """COCO detection from the standard layout (annotations/instances_*.json
+    + images dir), parsed directly from JSON (no pycocotools dependency;
+    reference Object_Detection/data/coco.py uses pycocotools). Labels are
+    contiguous 0..79 in category-id order."""
+
+    def __init__(self, root, split="train2017", size=300, batch_size=32,
+                 train=True, seed=0):
+        import json as _json
+
+        ann = os.path.join(root, "annotations", f"instances_{split}.json")
+        if not os.path.isfile(ann):
+            raise FileNotFoundError(
+                f"{ann} missing — place the COCO dataset there or use "
+                "SyntheticDetection for smoke runs.")
+        with open(ann) as f:
+            data = _json.load(f)
+        cats = sorted(c["id"] for c in data["categories"])
+        self.cat_to_label = {c: i for i, c in enumerate(cats)}
+        self.num_classes = len(cats)
+        imgs = {im["id"]: im for im in data["images"]}
+        per_img = {}
+        for a in data["annotations"]:
+            if a.get("iscrowd"):
+                continue
+            x, y, w, h = a["bbox"]
+            if w <= 1 or h <= 1:
+                continue
+            per_img.setdefault(a["image_id"], []).append(
+                (x, y, x + w, y + h, self.cat_to_label[a["category_id"]]))
+        self.samples = [
+            (os.path.join(root, split, imgs[i]["file_name"]), anns)
+            for i, anns in per_img.items() if i in imgs]
+        self.size = size
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.samples) // self.batch_size
+
+    def __iter__(self):
+        from PIL import Image
+
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.samples)) if self.train else np.arange(len(self.samples))
+        for b in range(len(self)):
+            ims, gbs, gls, gvs = [], [], [], []
+            for i in order[b * self.batch_size:(b + 1) * self.batch_size]:
+                path, anns = self.samples[i]
+                img = np.asarray(Image.open(path).convert("RGB"))
+                boxes = np.asarray([a[:4] for a in anns], np.float32).reshape(-1, 4)
+                labels = np.asarray([a[4] for a in anns], np.int32)
+                img, boxes, labels = ssd_augment(img, boxes, labels, rng,
+                                                 self.size, self.train)
+                gb, gl, gv = pad_targets(boxes, labels)
+                ims.append(img); gbs.append(gb); gls.append(gl); gvs.append(gv)
+            yield {"image": np.stack(ims), "boxes": np.stack(gbs),
+                   "labels": np.stack(gls), "valid": np.stack(gvs)}

@@ -111,3 +111,75 @@ class SyntheticPairs:
         for _ in range(len(self)):
             yield {"A": np.clip(rng.randn(self.batch_size, s, s, 3) * 0.5, -1, 1).astype(np.float32),
                    "B": np.clip(rng.randn(self.batch_size, s, s, 3) * 0.5, -1, 1).astype(np.float32)}
+
+
+class SingleDataset:
+    """Single-direction inference dataset (data/single_dataset.py): images
+    from one directory, 'A' only."""
+
+    def __init__(self, root, batch_size=1, load_size=286, crop_size=256, seed=0):
+        self.paths = _list_images(root)
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {root}")
+        self.batch_size = batch_size
+        self.load_size, self.crop_size = load_size, crop_size
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.paths) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        for b in range(len(self)):
+            a = [_load_transform(self.paths[b * self.batch_size + i], rng,
+                                 self.load_size, self.crop_size, flip=False)
+                 for i in range(self.batch_size)]
+            yield {"A": np.stack(a).astype(np.float32),
+                   "path": self.paths[b * self.batch_size]}
+
+
+def rgb_to_lab(rgb: np.ndarray):
+    """sRGB [0,1] -> CIE L*a*b* (the colorization dataset's conversion,
+    data/colorization_dataset.py via skimage). Vectorized numpy (D65)."""
+    r = np.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+    m = np.array([[0.4124564, 0.3575761, 0.1804375],
+                  [0.2126729, 0.7151522, 0.0721750],
+                  [0.0193339, 0.1191920, 0.9503041]], np.float32)
+    xyz = r @ m.T
+    xyz = xyz / np.array([0.95047, 1.0, 1.08883], np.float32)
+    f = np.where(xyz > 0.008856, np.cbrt(xyz), 7.787 * xyz + 16.0 / 116.0)
+    L = 116.0 * f[..., 1] - 16.0
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    bb = 200.0 * (f[..., 1] - f[..., 2])
+    return np.stack([L, a, bb], axis=-1)
+
+
+class ColorizationDataset:
+    """L-channel -> ab-channel pairs (data/colorization_dataset.py): A is
+    L/50-1 (1ch), B is ab/110 (2ch)."""
+
+    def __init__(self, root, phase="train", batch_size=1, load_size=286,
+                 crop_size=256, seed=0):
+        self.paths = _list_images(os.path.join(root, phase))
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {root}/{phase}")
+        self.batch_size = batch_size
+        self.load_size, self.crop_size = load_size, crop_size
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.paths) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.paths))
+        for b in range(len(self)):
+            As, Bs = [], []
+            for i in range(self.batch_size):
+                p = self.paths[order[b * self.batch_size + i]]
+                rgb = (_load_transform(p, rng, self.load_size, self.crop_size) + 1) / 2
+                lab = rgb_to_lab(rgb.astype(np.float32))
+                As.append(lab[..., :1] / 50.0 - 1.0)
+                Bs.append(lab[..., 1:] / 110.0)
+            yield {"A": np.stack(As).astype(np.float32),
+                   "B": np.stack(Bs).astype(np.float32)}

@@ -89,9 +89,10 @@ class ResnetGenerator(fnn.Module):
             xf = dequant(x)
             up = resize_bilinear(
                 xf, (xf.shape[1] * 2, xf.shape[2] * 2), align_corners=True)
-            if isinstance(x, QTensor):
-                # re-enter integer domain on the same grid (bilinear of
-                # fake-quant values; observer at next conv restores scale)
+            if self.quantized:
+                # re-enter the integer domain after the float resize; the stub
+                # runs in every mode so its observer exists and calibrates
+                # during QAT (INT8 then reuses the same qparams).
                 up = QuantStub(self.qconfig, name=f"requant_up{i}")(up, mode)
             x = QConvBNAct(int(ngf * mult / 2), 3, padding=1, act="relu",
                            name=f"up{i}", **kw)(up, mode, train)

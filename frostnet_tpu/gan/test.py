@@ -1,0 +1,71 @@
+"""Style-transfer inference: load generator, run QAT-sim and frozen-INT8
+passes, write an HTML gallery (Style_Transfer/test.py:29-84 flow).
+
+Run: python -m frostnet_tpu.gan.test --checkpoint runs/gan/latest_G \
+       --dataset synthetic --num_test 4
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import QAT, QAT_FROZEN, INT8
+from ..optim import qadam
+from ..utils.checkpoint import restore_checkpoint
+from ..utils.logging import MetricLogger
+from .data import AlignedDataset, SyntheticPairs
+from .models import make_net_state
+from .networks import define_g
+from .visualizer import HTMLGallery
+
+
+def main(args):
+    logger = MetricLogger(None, name="gan-test")
+    netG = define_g(netG=args.netG, quantized=True)
+    sample = jnp.zeros((1, args.crop_size, args.crop_size, 3))
+    g_state = make_net_state(netG, qadam(2e-4), jax.random.PRNGKey(0), sample,
+                             init_kwargs={"mode": QAT, "train": True})
+    if args.checkpoint:
+        g_state = restore_checkpoint(args.checkpoint, g_state)
+
+    if args.dataset == "synthetic":
+        ds = SyntheticPairs(args.crop_size, args.num_test, 1, seed=1)
+    else:
+        ds = AlignedDataset(args.data_root, "test", 1,
+                            args.crop_size, args.crop_size, seed=1)
+
+    qat_fn = jax.jit(lambda v, x: netG.apply(v, x, mode=QAT_FROZEN))
+    int8_fn = jax.jit(lambda v, x: netG.apply(v, x, mode=INT8))
+    gallery = HTMLGallery(os.path.join(args.results_dir, "web"), "gan test")
+    for i, batch in enumerate(ds):
+        if i >= args.num_test:
+            break
+        a = jnp.asarray(batch["A"])
+        fake_qat = np.asarray(qat_fn(g_state.variables, a))
+        fake_int8 = np.asarray(int8_fn(g_state.variables, a))
+        gallery.add_images(
+            {"real_A": batch["A"], "fake_B_qat": fake_qat,
+             "fake_B_int8": fake_int8, "real_B": batch["B"]}, f"img{i:04d}")
+        logger.info(f"[{i}] qat/int8 delta: "
+                    f"{np.abs(fake_qat - fake_int8).max():.4f}")
+    logger.info(f"gallery at {args.results_dir}/web/index.html")
+
+
+def cli():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--netG", default="resnet_6blocks")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--data_root", default="./datasets/facades")
+    p.add_argument("--crop_size", type=int, default=256)
+    p.add_argument("--num_test", type=int, default=4)
+    p.add_argument("--results_dir", default="./results/gan")
+    main(p.parse_args())
+
+
+if __name__ == "__main__":
+    cli()

@@ -125,3 +125,58 @@ class CityscapesSegmentation:
             ims, ms = zip(*[self._load_pair(*self.pairs[i], rng) for i in idx])
             yield {"image": np.stack(ims).astype(np.float32),
                    "label": np.stack(ms)}
+
+
+class VOCSegmentation:
+    """Pascal VOC segmentation from the standard VOCdevkit layout
+    (data_loader/segmentation/voc.py:13-108). Optionally unions a COCO-as-VOC
+    pretraining list (extra file-list of "img,mask" pairs, the coco.py
+    converter's output)."""
+
+    NUM_CLASSES = 21
+
+    def __init__(self, root, train=True, crop_size=(512, 512), scale=(0.5, 2.0),
+                 batch_size=16, seed=0, coco_list=None, year="2012"):
+        base = os.path.join(root, f"VOC{year}")
+        split = "train" if train else "val"
+        lf = os.path.join(base, "ImageSets", "Segmentation", split + ".txt")
+        if not os.path.isfile(lf):
+            raise FileNotFoundError(
+                f"{lf} missing — place the VOCdevkit there, or use "
+                "SyntheticSegmentation for smoke runs.")
+        with open(lf) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        self.pairs = [
+            (os.path.join(base, "JPEGImages", i + ".jpg"),
+             os.path.join(base, "SegmentationClass", i + ".png")) for i in ids]
+        if coco_list and os.path.isfile(coco_list):
+            root_dir = os.path.dirname(coco_list)
+            with open(coco_list) as f:
+                self.pairs += [tuple(os.path.join(root_dir, p)
+                                     for p in l.strip().split(",")[:2])
+                               for l in f if l.strip()]
+        self.train = train
+        self.batch_size = batch_size
+        self.seed = seed
+        self.tf = PairedTransforms(crop_size, scale)
+
+    def __len__(self):
+        return len(self.pairs) // self.batch_size
+
+    def __iter__(self):
+        from PIL import Image
+
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.pairs)) if self.train else np.arange(len(self.pairs))
+        for b in range(len(self)):
+            ims, ms = [], []
+            for i in order[b * self.batch_size:(b + 1) * self.batch_size]:
+                img = np.asarray(Image.open(self.pairs[i][0]).convert("RGB"))
+                mask = np.asarray(Image.open(self.pairs[i][1]))
+                if self.train:
+                    img, mask = self.tf(img, mask, rng)
+                else:
+                    img = (img.astype(np.float32) / 255.0 - self.tf.mean) / self.tf.std
+                    mask = mask.astype(np.int32)
+                ims.append(img); ms.append(mask)
+            yield {"image": np.stack(ims).astype(np.float32), "label": np.stack(ms)}
