@@ -2,15 +2,21 @@
 from .datasets import (
     SyntheticClassification,
     FolderClassification,
+    CIFARClassification,
+    MNISTClassification,
     download_data,
     IMAGENET_MEAN,
     IMAGENET_STD,
 )
+from .randaugment import RandAugment
 from .pipeline import prefetch_to_device
 
 __all__ = [
     "SyntheticClassification",
     "FolderClassification",
+    "CIFARClassification",
+    "MNISTClassification",
+    "RandAugment",
     "download_data",
     "IMAGENET_MEAN",
     "IMAGENET_STD",

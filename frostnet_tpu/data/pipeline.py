@@ -23,7 +23,7 @@ def prefetch_to_device(
 ) -> Iterator:
     """Iterate ``it`` (dicts of numpy arrays), staging batches on device."""
     sharding = None
-    if mesh is not None:
+    if mesh is not None and mesh.size > 1:
         sharding = NamedSharding(mesh, P(axis))
 
     def place(batch):

@@ -33,10 +33,11 @@ from .resnet import ResNet, resnet_factories
 from .shufflenetv2 import ShuffleNetV2, shufflenetv2_factories
 from .vgg import VGG, AlexNet, vgg_factories
 from .fp_only import DenseNet, SqueezeNet, MNASNet, InceptionV3, fp_only_factories
+from .cifar import CifarAlexNet, cifar_factories
 
 for _reg in (FROSTNET_MODELS, mobilenetv2_factories(), mobilenetv3_factories(),
              resnet_factories(), shufflenetv2_factories(), vgg_factories(),
-             fp_only_factories()):
+             fp_only_factories(), cifar_factories()):
     for _name, _factory in _reg.items():
         register_model(_name, _factory)
 

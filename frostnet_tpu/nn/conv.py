@@ -169,19 +169,28 @@ class QConvBNAct(fnn.Module):
             w_scale, w_zp = calculate_qparams(w_obs.value, wspec)
             qw = quantize(wf, w_scale, w_zp, wspec, channel_axis=w_ch_axis)
 
-            # Integer conv with int32 accumulation. Zero-point is subtracted
-            # before the conv (exact; zero-padding then contributes 0, which
-            # matches qnnpack's effective -zp padding). The Pallas perf path
-            # keeps operands int8 on the MXU instead; this XLA path is the
-            # portable reference numerics.
-            qx = x.q.astype(jnp.int32) - x.zero_point
-            qwi = qw.astype(jnp.int32)
+            # True int8 x int8 -> int32 conv (MXU path). The uint8 activation
+            # is shifted by 128 to fit int8; the zero-point contribution is
+            # removed exactly via the valid-tap weight sum
+            #   acc_true = conv(qx-128, qw) - (zp-128) * conv(ones, qw)
+            # where conv(ones, qw) is input-independent, so XLA constant-folds
+            # it when params are jit closure constants (the freeze pattern).
+            x8 = (x.q.astype(jnp.int32) - 128).astype(jnp.int8)
+            zp_eff = (x.zero_point - 128).astype(jnp.int32)
             acc = jax.lax.conv_general_dilated(
-                qx, qwi, strides, padding, rhs_dilation=dilation,
+                x8, qw, strides, padding, rhs_dilation=dilation,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.groups,
                 preferred_element_type=jnp.int32,
             )
+            ones_img = jnp.ones((1,) + x.q.shape[1:3] + (x.q.shape[3],), jnp.int8)
+            valid_w_sum = jax.lax.conv_general_dilated(
+                ones_img, qw, strides, padding, rhs_dilation=dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc - zp_eff * valid_w_sum
 
             # float epilogue (XLA fuses): dequant -> bias -> act -> requant
             w_scale_b = w_scale if w_ch_axis is None else w_scale.reshape((1, 1, 1, -1))

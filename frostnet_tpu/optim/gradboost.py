@@ -281,3 +281,39 @@ def get_optimizer(name: str, learning_rate, **kwargs) -> optax.GradientTransform
     except KeyError:
         raise ValueError(f"unknown optimizer {name!r}; options: {list(_OPTIMIZERS)}")
     return fn(learning_rate, **kwargs)
+
+
+def rmsprop_tf(learning_rate, alpha=0.9, momentum=0.9, eps=1e-3, weight_decay=0.0):
+    """timm's RMSpropTF — the optimizer of the published FrostNet ImageNet
+    recipe (training_commands.txt:1-19). Differences from torch RMSprop:
+    eps inside the sqrt and square_avg initialized at 1 (via bias-free TF
+    semantics). optax.scale_by_rms(eps_in_sqrt=True, initial_scale=1.0)
+    reproduces exactly that."""
+    return optax.chain(
+        _wd(weight_decay),
+        optax.scale_by_rms(decay=alpha, eps=eps, initial_scale=1.0, eps_in_sqrt=True),
+        optax.trace(decay=momentum) if momentum else optax.identity(),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+class EmaState(NamedTuple):
+    ema: optax.Params
+
+
+def param_ema(decay: float = 0.9999):
+    """Model-weight EMA tracker (timm --model-ema 0.9999 in the FrostNet
+    recipe). Not a gradient transform: call ``update_ema`` after
+    apply_updates and evaluate with ``state.ema`` params."""
+
+    def init(params):
+        return EmaState(ema=jax.tree.map(jnp.asarray, params))
+
+    def update(state: EmaState, new_params):
+        ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                           state.ema, new_params)
+        return EmaState(ema=ema)
+
+    return init, update
+
+_OPTIMIZERS["RMSTF"] = rmsprop_tf

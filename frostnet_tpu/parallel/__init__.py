@@ -8,6 +8,7 @@ from .mesh import (
     DEFAULT_MP_RULES,
     cross_replica_mean,
 )
+from . import multihost
 
 __all__ = [
     "make_mesh",
@@ -16,4 +17,5 @@ __all__ = [
     "shard_params_for_mp",
     "DEFAULT_MP_RULES",
     "cross_replica_mean",
+    "multihost",
 ]

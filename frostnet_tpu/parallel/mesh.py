@@ -42,14 +42,25 @@ def make_mesh(
     return Mesh(arr, ("dp", "mp"))
 
 
+def _single_device(mesh: Mesh) -> bool:
+    # On a 1-device mesh, NamedSharding buys nothing — and on the axon
+    # platform, sharding-annotated single-chip programs execute ~1000x
+    # slower (measured r1) — so fall back to plain placement.
+    return mesh.size == 1
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch sharded along 'dp' on its leading axis."""
+    if _single_device(mesh):
+        return jax.tree.map(jax.device_put, batch)
     sharding = NamedSharding(mesh, P("dp"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params/optimizer state default)."""
+    if _single_device(mesh):
+        return jax.tree.map(jax.device_put, tree)
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 

@@ -1,5 +1,5 @@
 """Semantic segmentation workload: models, heads, data, trainer."""
-from .heads import LRASPP, LRASPPHead
+from .heads import LRASPP, LRASPPHead, RASPP, RASPPHead, ASPPPooling
 from .models import MobileNetV3Seg, MobileNetV2Seg, SEG_MODELS, get_seg_model
 from .data import (
     CITYSCAPES_CLASSES,
@@ -13,6 +13,9 @@ from .data import (
 __all__ = [
     "LRASPP",
     "LRASPPHead",
+    "RASPP",
+    "RASPPHead",
+    "ASPPPooling",
     "MobileNetV3Seg",
     "MobileNetV2Seg",
     "SEG_MODELS",

@@ -71,3 +71,81 @@ class LRASPPHead(fnn.Module):
         c1_size = (c1.q if isinstance(c1, QTensor) else c1).shape[1:3]
         c4 = resize_bilinear(_as_f32(c4), c1_size, align_corners=True)
         return c1, c4
+
+
+class ASPPPooling(fnn.Module):
+    """Global-pool branch of ASPP (RASPP.py:32-47)."""
+
+    out_channels: int = 256
+    quantized: bool = True
+    qconfig: QConfig = QNNPACK
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
+        from ..nn.pool import global_avg_pool
+
+        size = (x.q if isinstance(x, QTensor) else x).shape[1:3]
+        p = global_avg_pool(x, keepdims=True)
+        p = QConvBNAct(self.out_channels, 1, act="relu", quantized=self.quantized,
+                       qconfig=self.qconfig, dtype=self.dtype, name="conv")(
+            p, mode, train)
+        return resize_bilinear(_as_f32(p), size, align_corners=True)
+
+
+class RASPP(fnn.Module):
+    """R-ASPP (RASPP.py:49-83): 1x1 + three atrous 3x3 branches + pooled
+    branch, observed concat, 1x1 project."""
+
+    atrous_rates: tuple = (6, 12, 18)
+    out_channels: int = 256
+    drop_rate: float = 0.1
+    quantized: bool = True
+    qconfig: QConfig = QNNPACK
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
+        from ..nn import QCat
+
+        kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype)
+        feats = [QConvBNAct(self.out_channels, 1, act="relu", name="b0", **kw)(
+            x, mode, train)]
+        for i, r in enumerate(self.atrous_rates):
+            feats.append(QConvBNAct(self.out_channels, 3, padding=r, dilation=r,
+                                    act="relu", name=f"b{i + 1}", **kw)(x, mode, train))
+        feats.append(ASPPPooling(self.out_channels, name="b4", **kw)(x, mode, train))
+        feats = [_as_f32(f) for f in feats]
+        out = (QCat(self.qconfig, name="quant_cat")(feats, mode, axis=-1)
+               if self.quantized else jnp.concatenate(feats, -1))
+        out = QConvBNAct(self.out_channels, 1, act="relu", name="project", **kw)(
+            out, mode, train)
+        if not isinstance(out, QTensor):
+            out = fnn.Dropout(self.drop_rate, deterministic=not train)(out)
+        return out
+
+
+class RASPPHead(fnn.Module):
+    """_Head (RASPP.py:8-30): ASPP on c4 upsampled to c1 + 48-ch aux branch,
+    concat, 3x3 project, 1x1 classifier."""
+
+    num_classes: int = 19
+    quantized: bool = True
+    qconfig: QConfig = QNNPACK
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, c1, c4, mode: QuantMode = QuantMode(), train: bool = False):
+        from ..nn import QCat
+
+        kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype)
+        c4 = RASPP(name="aspp", **kw)(c4, mode, train)
+        c1_size = (c1.q if isinstance(c1, QTensor) else c1).shape[1:3]
+        c4 = resize_bilinear(_as_f32(c4), c1_size, align_corners=True)
+        c1 = QConvBNAct(48, 1, act="relu", name="auxlayer", **kw)(c1, mode, train)
+        out = (QCat(self.qconfig, name="quant_cat")([_as_f32(c1), c4], mode, axis=-1)
+               if self.quantized else jnp.concatenate([_as_f32(c1), c4], -1))
+        out = QConvBNAct(256, 3, padding=1, act="relu", name="project", **kw)(
+            out, mode, train)
+        return QConvBNAct(self.num_classes, 1, use_bn=False, use_bias=True, act=None,
+                          quantized=False, name="reduce_conv")(out, mode, train)

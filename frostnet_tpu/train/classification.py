@@ -61,6 +61,7 @@ class ClassificationConfig:
     warmup_epochs: int = 0
     warmup_lr: float = 1e-4
     label_smoothing: float = 0.0
+    ema_decay: float = 0.0       # 0.9999 in the published recipe (training_commands.txt)
     steps_per_epoch: Optional[int] = None  # cap for smoke runs
     seed: int = 42
     save_dir: str = "./runs/classification"
@@ -151,7 +152,7 @@ def main(cfg: ClassificationConfig):
 
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, cfg.image_size, cfg.image_size, 3), jnp.float32)
-    state = create_train_state(model, tx, rng, sample)
+    state = create_train_state(model, tx, rng, sample, ema_decay=cfg.ema_decay)
     state = state.replace(
         params=replicate(state.params, mesh),
         batch_stats=replicate(state.batch_stats, mesh),
@@ -164,7 +165,8 @@ def main(cfg: ClassificationConfig):
 
     # ---------------- StatAssist FP32 warm-up (train.py:149-160) ----------
     fp_step = make_train_step(model, FP32, num_classes=cfg.num_classes,
-                              label_smoothing=cfg.label_smoothing)
+                              label_smoothing=cfg.label_smoothing,
+                              ema_decay=cfg.ema_decay)
     for epoch in range(cfg.fp_epochs):
         state, summary = _run_epoch(fp_step, state, train_ds, mesh, epoch,
                                     "fp_warmup", logger, cfg.log_every,
@@ -177,7 +179,8 @@ def main(cfg: ClassificationConfig):
 
     # ---------------- QAT epochs (train.py:178-236) ------------------------
     qat_step = make_train_step(model, QAT, num_classes=cfg.num_classes,
-                               label_smoothing=cfg.label_smoothing)
+                               label_smoothing=cfg.label_smoothing,
+                               ema_decay=cfg.ema_decay)
     best_top1 = -1.0
     for epoch in range(cfg.epochs):
         state, summary = _run_epoch(qat_step, state, train_ds, mesh, epoch,

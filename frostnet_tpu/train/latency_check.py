@@ -38,8 +38,17 @@ def time_mode(model, variables, x, mode, iters=100, warmup=3):
 
 def main(args):
     logger = MetricLogger(None, name="latency")
-    model = create_model(args.model, num_classes=args.num_classes,
-                         qconfig=get_qconfig(args.backend))
+    if args.seg:
+        # segmentation latency probe (val_seg_latency / Semantic_Segmentation/
+        # latency_check.py — full-res 2048x1024 eval by default there; pass
+        # --image_size for the probe resolution)
+        from ..segmentation.models import get_seg_model
+
+        model = get_seg_model(args.model, num_classes=args.num_classes,
+                              qconfig=get_qconfig(args.backend))
+    else:
+        model = create_model(args.model, num_classes=args.num_classes,
+                             qconfig=get_qconfig(args.backend))
     x = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3))
     tx = get_optimizer("SGD", 1e-3)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), x,
@@ -69,6 +78,8 @@ def cli():
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--seg", action="store_true",
+                   help="treat --model as a segmentation model name")
     main(p.parse_args())
 
 

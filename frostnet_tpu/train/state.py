@@ -39,7 +39,8 @@ class QATTrainState:
     quant: Any
     opt_state: Any
     rng: jax.Array
-    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    ema: Any = None  # optional param EMA (timm --model-ema in the recipe)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False, default=None)
 
     @property
     def model_variables(self):
@@ -61,6 +62,7 @@ def create_train_state(
     rng: jax.Array,
     sample_input: jnp.ndarray,
     init_kwargs: Optional[dict] = None,
+    ema_decay: float = 0.0,
 ) -> QATTrainState:
     # jit the whole init: flax's eager init dispatches hundreds of tiny
     # primitive compiles (slow fixed overhead per compile on CPU; wasteful on
@@ -76,6 +78,7 @@ def create_train_state(
         quant=variables.get("quant", {}),
         opt_state=tx.init(params),
         rng=rng,
+        ema=jax.tree.map(jnp.asarray, params) if ema_decay > 0 else None,
         tx=tx,
     )
 
@@ -86,6 +89,7 @@ def make_train_step(
     loss_fn: Optional[Callable] = None,
     num_classes: Optional[int] = None,
     label_smoothing: float = 0.0,
+    ema_decay: float = 0.0,
     donate: bool = True,
 ):
     """Jitted classification train step for one phase.
@@ -117,6 +121,10 @@ def make_train_step(
         opt_updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, opt_updates)
 
+        ema = state.ema
+        if ema is not None and ema_decay > 0:
+            ema = jax.tree.map(lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                               ema, params)
         new_state = state.replace(
             step=state.step + 1,
             params=params,
@@ -124,6 +132,7 @@ def make_train_step(
             quant=updates.get("quant", state.quant),
             opt_state=opt_state,
             rng=rng,
+            ema=ema,
         )
         metrics = {"loss": loss}
         if outputs.ndim == 2 and num_classes:
@@ -134,12 +143,17 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, mode: QuantMode, num_classes: Optional[int] = None):
+def make_eval_step(model, mode: QuantMode, num_classes: Optional[int] = None,
+                   use_ema: bool = False):
     """Jitted eval step -> metrics dict (reference val(),
-    helper_functions.py:306-350)."""
+    helper_functions.py:306-350). ``use_ema`` evaluates the EMA weights
+    (the recipe validates EMA params)."""
 
     def step(state: QATTrainState, batch):
-        outputs = model.apply(state.model_variables, batch["image"], mode=mode)
+        variables = state.model_variables
+        if use_ema and state.ema is not None:
+            variables = {**variables, "params": state.ema}
+        outputs = model.apply(variables, batch["image"], mode=mode)
         loss = cross_entropy(outputs, batch["label"])
         metrics = {"loss": loss}
         if outputs.ndim == 2:

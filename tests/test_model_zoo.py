@@ -93,3 +93,24 @@ def test_zoo_registry_size():
     names = list_models()
     # 30 frostnet + mbv2(6) + mbv3(8) + resnet(12) + shufflenet(8) + vgg(16) + alexnet(2)
     assert len(names) >= 80
+
+
+def test_mbv3_qat_sim_close_to_int8():
+    """hswish/SE/add_scalar INT8 paths agree with the fake-quant sim."""
+    import numpy as np
+    from frostnet_tpu import nn as fq
+
+    model = create_model("qmobilenet_v3_small_HS", num_classes=10)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 64, 64, 3))
+    v = jax.jit(lambda k, xx: model.init(k, xx, mode=fq.QAT, train=True))(key, x)
+    step = jax.jit(lambda vv, xx: model.apply(
+        vv, xx, mode=fq.QAT, train=True, mutable=["batch_stats", "quant"],
+        rngs={"dropout": key}))
+    for i in range(3):
+        _, upd = step(v, jax.random.normal(jax.random.fold_in(key, i), x.shape))
+        v = {**v, **upd}
+    qat = jax.jit(lambda vv, xx: model.apply(vv, xx, mode=fq.QAT_FROZEN))(v, x)
+    int8 = jax.jit(lambda vv, xx: model.apply(vv, xx, mode=fq.INT8))(v, x)
+    assert np.abs(np.asarray(qat) - np.asarray(int8)).max() < 0.25, (
+        np.abs(np.asarray(qat) - np.asarray(int8)).max())

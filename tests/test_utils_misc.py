@@ -1,0 +1,107 @@
+"""Unit tests for small utilities: losses (vs torch), metrics, ImagePool,
+ReduceLROnPlateau, checkpoint round-trip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from frostnet_tpu.gan.image_pool import ImagePool
+from frostnet_tpu.optim import ReduceLROnPlateau
+from frostnet_tpu.utils.losses import cross_entropy, smooth_l1
+from frostnet_tpu.utils.metrics import (
+    AverageMeter,
+    confusion_matrix,
+    miou_from_confusion,
+    topk_accuracy,
+)
+
+
+def test_cross_entropy_matches_torch_weighted_ignore():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(6, 5).astype(np.float32)
+    labels = np.array([0, 1, 2, 255, 4, 3])
+    weights = rng.rand(5).astype(np.float32) + 0.5
+
+    want = F.cross_entropy(torch.from_numpy(logits),
+                           torch.from_numpy(labels.astype(np.int64)),
+                           weight=torch.from_numpy(weights),
+                           ignore_index=255).item()
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                              class_weights=jnp.asarray(weights), ignore_index=255))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_smooth_l1_matches_torch():
+    rng = np.random.RandomState(1)
+    a, b = rng.randn(20).astype(np.float32), rng.randn(20).astype(np.float32)
+    want = F.smooth_l1_loss(torch.from_numpy(a), torch.from_numpy(b),
+                            reduction="none").numpy()
+    got = np.asarray(smooth_l1(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_topk_accuracy():
+    logits = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    labels = jnp.asarray([1, 2])
+    top1, top2 = topk_accuracy(logits, labels, (1, 2))
+    assert float(top1) == 0.5
+    assert float(top2) == 0.5  # class 2 is rank 2 (0-indexed last)
+
+
+def test_miou_perfect_prediction():
+    pred = jnp.asarray(np.random.RandomState(0).randint(0, 4, (2, 8, 8)))
+    cm = confusion_matrix(pred, pred, 4)
+    _, miou = miou_from_confusion(cm)
+    assert float(miou) == 1.0
+    # ignored pixels contribute nothing
+    target = pred.at[0, 0, 0].set(255)
+    cm2 = confusion_matrix(pred, target, 4, ignore_index=255)
+    assert int(cm2.sum()) == pred.size - 1
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0, 2)
+    m.update(4.0, 1)
+    assert abs(m.avg - 2.0) < 1e-9
+
+
+def test_image_pool_buffers_history():
+    pool = ImagePool(pool_size=4, seed=0)
+    first = np.ones((4, 2, 2, 3), np.float32)
+    out1 = pool.query(first)
+    np.testing.assert_array_equal(out1, first)  # buffer fills, passthrough
+    out2 = pool.query(first * 2)
+    # some returned images must come from the old buffer or the new batch
+    assert out2.shape == first.shape
+    vals = {float(v) for v in np.unique(out2)}
+    assert vals.issubset({1.0, 2.0})
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(base_lr=1.0, factor=0.5, patience=1, threshold=0.0)
+    lrs = [s.step(1.0) for _ in range(5)]
+    assert lrs[0] == 1.0 and lrs[-1] < 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from frostnet_tpu.optim import qsgd
+    from frostnet_tpu.train.state import QATTrainState
+    from frostnet_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    tx = qsgd(0.1)
+    params = {"w": jnp.arange(4.0)}
+    state = QATTrainState(
+        step=jnp.asarray(7), params=params, batch_stats={}, quant={},
+        opt_state=tx.init(params), rng=jax.random.PRNGKey(3), tx=tx)
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+
+    blank = QATTrainState(
+        step=jnp.asarray(0), params={"w": jnp.zeros(4)}, batch_stats={},
+        quant={}, opt_state=tx.init(params), rng=jax.random.PRNGKey(0), tx=tx)
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), blank)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(4.0))
