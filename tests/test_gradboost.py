@@ -214,3 +214,35 @@ def test_schedules_match_reference_formulas():
     # matches WarmupPoly.get_lr at a few points
     assert abs(float(sched(2)) - 0.1 * ((3) / 5) ** 0.9) < 1e-6
     assert abs(float(sched(50)) - 0.1 * (1 - 45 / 95) ** 0.9) < 1e-6
+
+
+def test_epoch_schedules_match_reference_classes():
+    """cyclic/hybrid/fixed epoch schedulers vs the reference implementations
+    (Semantic_Segmentation/utilities/lr_scheduler.py, imported as oracle)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_lrsched", "/root/reference/Semantic_Segmentation/utilities/lr_scheduler.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ref = mod.FixedMultiStepLR(base_lr=0.1, steps=[30, 60, 90], gamma=0.1)
+    ours = fopt.get_lr_scheduler("multistep", base_lr=0.1,
+                                 milestones=[30, 60, 90], gamma=0.1)
+    for e in [0, 29, 30, 59, 60, 95]:
+        # bisect.bisect counts e>=milestone boundaries like ours
+        assert abs(float(ours(e)) - ref.step(e)) < 1e-6, e
+
+    refp = mod.PolyLR(base_lr=0.007, max_epochs=100, power=0.9)
+    oursp = fopt.get_lr_scheduler("poly", base_lr=0.007, total_steps=100, power=0.9)
+    for e in [0, 10, 50, 99]:
+        assert abs(float(oursp(e)) - refp.step(e)) < 2e-6, e
+
+    refc = mod.CyclicLR(min_lr=0.01, cycle_len=5, steps=[51, 161, 201], gamma=0.1)
+    oursc = fopt.get_lr_scheduler("clr", min_lr=0.01, cycle_len=5,
+                                  milestones=[51, 161, 201], gamma=0.1)
+    ref_vals = [refc.step(e) for e in range(120)]
+    our_vals = [float(oursc(e)) for e in range(120)]
+    # the reference rounds to 5 decimals and mutates min_lr at (modular!)
+    # milestones; compare the first cycle region exactly
+    np.testing.assert_allclose(our_vals[:51], ref_vals[:51], atol=1e-5)
