@@ -61,6 +61,11 @@ def _dataset(cfg: GANConfig):
     if cfg.dataset == "synthetic":
         return SyntheticPairs(cfg.crop_size, cfg.batch_size * (cfg.steps_per_epoch or 4),
                               cfg.batch_size, cfg.seed)
+    if cfg.dataset == "colorization":
+        from .data import ColorizationDataset
+
+        return ColorizationDataset(cfg.data_root, "train", cfg.batch_size,
+                                   cfg.load_size, cfg.crop_size, cfg.seed)
     if cfg.model == "cycle_gan":
         return UnalignedDataset(cfg.data_root, "train", cfg.batch_size,
                                 cfg.load_size, cfg.crop_size, cfg.seed)
@@ -76,15 +81,17 @@ def _g_optimizer(cfg: GANConfig):
 
 def train_pix2pix(cfg: GANConfig, logger):
     ds = _dataset(cfg)
-    netG = define_g(netG=cfg.netG, quantized=True)
+    in_nc, out_nc = (1, 2) if cfg.dataset == "colorization" else (3, 3)
+    netG = define_g(output_nc=out_nc, netG=cfg.netG, quantized=True)
     netD = define_d(netD="basic")
     rng = jax.random.PRNGKey(cfg.seed)
-    sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, 3))
+    sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, in_nc))
+    sample_b = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, out_nc))
 
     g_state = make_net_state(netG, _g_optimizer(cfg), rng, sample,
                              init_kwargs={"mode": QAT, "train": True})
     d_state = make_net_state(netD, adam(cfg.lr, b1=cfg.beta1), rng,
-                             jnp.concatenate([sample, sample], -1),
+                             jnp.concatenate([sample, sample_b], -1),
                              init_kwargs={"train": True})
 
     def run_phase(mode, epochs, tag):
@@ -189,3 +196,8 @@ def cli():
 
 if __name__ == "__main__":
     cli()
+
+
+# colorization support: pix2pix with L (1ch) -> ab (2ch), the reference's
+# colorization dataset/model combo (data/colorization_dataset.py). Select via
+# --model pix2pix --dataset colorization (data_root must hold train/ images).

@@ -92,3 +92,30 @@ def test_pix2pix_steps_run():
     # generator output stays in tanh range
     out = netG.apply(g_state.variables, batch["A"], mode=fnn_q.QAT_FROZEN)
     assert float(jnp.abs(out).max()) <= 1.0 + 1e-5
+
+
+def test_cyclegan_steps_run():
+    from frostnet_tpu.gan import ImagePool
+    from frostnet_tpu.gan.models import make_cyclegan_steps
+
+    netG_A = define_g(netG="resnet_6blocks", quantized=True)
+    netG_B = define_g(netG="resnet_6blocks", quantized=True)
+    netD_A = define_d()
+    netD_B = define_d()
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 32, 32, 3))
+    g_tx = qadam(2e-4, b1=0.5)
+    gA = make_net_state(netG_A, g_tx, rng, x, init_kwargs={"mode": QAT, "train": True})
+    gB = make_net_state(netG_B, g_tx, jax.random.fold_in(rng, 1), x,
+                        init_kwargs={"mode": QAT, "train": True})
+    joint = g_tx.init((gA.params, gB.params))
+    dA = make_net_state(netD_A, adam(2e-4), rng, x, init_kwargs={"train": True})
+    dB = make_net_state(netD_B, adam(2e-4), jax.random.fold_in(rng, 2), x,
+                        init_kwargs={"train": True})
+    g_step, d_step = make_cyclegan_steps(netG_A, netG_B, netD_A, netD_B, QAT)
+    batch = {k: jnp.asarray(v) for k, v in next(iter(SyntheticPairs(32, 1, 1))).items()}
+    gA, gB, joint, fake_a, fake_b, m = g_step(gA, gB, dA, dB, batch, joint)
+    assert np.isfinite(float(m["loss_G"]))
+    pool = ImagePool(4, 0)
+    dA, loss_da = d_step(dA, batch["B"], jnp.asarray(pool.query(np.asarray(fake_b))))
+    assert np.isfinite(float(loss_da))
