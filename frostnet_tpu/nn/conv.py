@@ -254,5 +254,8 @@ class QConvBNAct(fnn.Module):
 
         y = apply_activation(y, self.act)
         if q_on:
-            y = apply_observer(self, act_obs, y, aspec, mode)
+            # store activations in the compute dtype (bf16 under AMP): the
+            # quantize math still runs f32 (scale is f32 -> jnp promotes),
+            # but reads/writes between layers halve.
+            y = apply_observer(self, act_obs, y.astype(self.dtype), aspec, mode)
         return y

@@ -25,6 +25,8 @@ from .fake_quant import (
     dequantize,
 )
 from .folding import fold_bn, bn_scale_factor
+from .freeze import freeze
+from .qtensor import QTensor
 
 __all__ = [
     "QSpec",
@@ -47,4 +49,6 @@ __all__ = [
     "dequantize",
     "fold_bn",
     "bn_scale_factor",
+    "freeze",
+    "QTensor",
 ]

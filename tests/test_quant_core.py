@@ -191,3 +191,18 @@ def test_fold_bn_matches_eval_conv_bn():
         xj, wf, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")) + bf
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), want, atol=2e-5, rtol=1e-5)
+
+
+def test_freeze_matches_int8_mode():
+    """freeze() is convert(): jitted INT8 apply with constant-folded weights."""
+    from frostnet_tpu.models import create_model
+    from frostnet_tpu import nn as fq
+    from frostnet_tpu.quant import freeze
+
+    model = create_model("frostnet_quant_small_0_35", num_classes=10)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    v = jax.jit(lambda k, xx: model.init(k, xx, mode=fq.QAT, train=True))(key, x)
+    frozen = freeze(model, v)
+    want = jax.jit(lambda vv, xx: model.apply(vv, xx, mode=fq.INT8))(v, x)
+    np.testing.assert_allclose(np.asarray(frozen(x)), np.asarray(want), atol=1e-6)
