@@ -35,9 +35,22 @@ from .vgg import VGG, AlexNet, vgg_factories
 from .fp_only import DenseNet, SqueezeNet, MNASNet, InceptionV3, fp_only_factories
 from .cifar import CifarAlexNet, cifar_factories
 
+
+def _espnetv2_cls_factories():
+    # ESPNetv2 ImageNet classifier (reference backbones/espnetv2.py EESPNet)
+    from ..segmentation.espnet import EESPNet
+
+    reg = {}
+    for s_ in (0.5, 1.0, 1.5, 2.0):
+        name = f"espnetv2_s_{str(s_).replace('.', '_')}"
+        reg[name] = (lambda sv=s_, **kw: EESPNet(s=sv, **{"num_classes": 1000, **kw}))
+    return reg
+
+
 for _reg in (FROSTNET_MODELS, mobilenetv2_factories(), mobilenetv3_factories(),
              resnet_factories(), shufflenetv2_factories(), vgg_factories(),
-             fp_only_factories(), cifar_factories()):
+             fp_only_factories(), cifar_factories(),
+             _espnetv2_cls_factories()):
     for _name, _factory in _reg.items():
         register_model(_name, _factory)
 
