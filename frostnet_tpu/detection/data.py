@@ -24,16 +24,68 @@ MEANS = (104, 117, 123)  # BGR means (data/config.py:15)
 MAX_GT = 50
 
 
+def _rgb_to_hsv(img):
+    """Vectorized RGB->HSV on [0,255] floats (h in [0,360), s in [0,1])."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    mx = img.max(-1)
+    mn = img.min(-1)
+    d = mx - mn
+    h = np.zeros_like(mx)
+    nz = d > 0
+    rm, gm, bm = (mx == r) & nz, (mx == g) & nz & (mx != r), nz & (mx != r) & (mx != g)
+    h[rm] = (60 * ((g - b) / np.where(d == 0, 1, d)) % 360)[rm]
+    h[gm] = (60 * ((b - r) / np.where(d == 0, 1, d)) + 120)[gm]
+    h[bm] = (60 * ((r - g) / np.where(d == 0, 1, d)) + 240)[bm]
+    s = np.where(mx > 0, d / np.where(mx == 0, 1, mx), 0.0)
+    return np.stack([h, s, mx], -1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0] % 360, np.clip(hsv[..., 1], 0, 1), hsv[..., 2]
+    c = v * s
+    x = c * (1 - np.abs((h / 60) % 2 - 1))
+    m = v - c
+    z = np.zeros_like(c)
+    conds = [(h < 60), (h < 120), (h < 180), (h < 240), (h < 300), (h >= 300)]
+    rgbs = [(c, x, z), (x, c, z), (z, c, x), (z, x, c), (x, z, c), (c, z, x)]
+    out = np.zeros(hsv.shape, np.float32)
+    done = np.zeros(c.shape, bool)
+    for cond, (rr, gg, bb) in zip(conds, rgbs):
+        sel = cond & ~done
+        out[..., 0][sel] = rr[sel]
+        out[..., 1][sel] = gg[sel]
+        out[..., 2][sel] = bb[sel]
+        done |= cond
+    return out + m[..., None]
+
+
 def _photometric(img, rng):
-    """PhotometricDistort (augmentations.py:376-398), simplified but matching
-    op set: brightness/contrast/saturation/hue jitter in random order."""
+    """PhotometricDistort (augmentations.py:376-398): RandomBrightness, then
+    either (contrast -> saturation/hue) or (saturation/hue -> contrast) via
+    the HSV round trip, then RandomLightingNoise (channel swap) — the full
+    reference op set with the reference's parameter ranges."""
     img = img.astype(np.float32)
-    if rng.randint(2):
+    if rng.randint(2):  # RandomBrightness(delta=32)
         img += rng.uniform(-32, 32)
-    if rng.randint(2):
-        img *= rng.uniform(0.5, 1.5)
-    # channel swap
-    if rng.randint(2):
+
+    def contrast(im):
+        if rng.randint(2):  # RandomContrast(0.5, 1.5)
+            im = im * rng.uniform(0.5, 1.5)
+        return im
+
+    def sat_hue(im):
+        hsv = _rgb_to_hsv(np.clip(im, 0, 255))
+        if rng.randint(2):  # RandomSaturation(0.5, 1.5)
+            hsv[..., 1] *= rng.uniform(0.5, 1.5)
+        if rng.randint(2):  # RandomHue(delta=18)
+            hsv[..., 0] += rng.uniform(-18, 18)
+        return _hsv_to_rgb(hsv)
+
+    if rng.randint(2):  # distort order (augmentations.py PhotometricDistort)
+        img = sat_hue(contrast(img))
+    else:
+        img = contrast(sat_hue(img))
+    if rng.randint(2):  # RandomLightingNoise: random channel permutation
         img = img[..., rng.permutation(3)]
     return np.clip(img, 0, 255)
 
