@@ -78,7 +78,10 @@ def create_train_state(
         quant=variables.get("quant", {}),
         opt_state=tx.init(params),
         rng=rng,
-        ema=jax.tree.map(jnp.asarray, params) if ema_decay > 0 else None,
+        # ema must be a COPY: jnp.asarray aliases the param buffers, and a
+        # donated train step would then donate the same buffer twice (TPU
+        # rejects with InvalidArgument).
+        ema=jax.tree.map(lambda p: jnp.array(p, copy=True), params) if ema_decay > 0 else None,
         tx=tx,
     )
 

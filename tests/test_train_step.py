@@ -67,3 +67,25 @@ def test_batch_sharding_over_dp():
              "label": np.zeros((16,), np.int32)}
     sharded = shard_batch(batch, mesh)
     assert len(sharded["image"].sharding.device_set) == 8
+
+
+def test_ema_state_does_not_alias_params():
+    """Regression: EMA must copy params — aliased buffers get double-donated
+    by the jitted step and the TPU backend rejects with InvalidArgument."""
+    model = create_model("frostnet_quant_small_0_35", num_classes=4)
+    tx = get_optimizer("SGD", 0.1)
+    sample = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
+                               ema_decay=0.99)
+    p_leaves = jax.tree.leaves(state.params)
+    e_leaves = jax.tree.leaves(state.ema)
+    for p, e in zip(p_leaves, e_leaves):
+        assert p.unsafe_buffer_pointer() != e.unsafe_buffer_pointer()
+
+    # EMA updates move toward params after a step
+    step = make_train_step(model, FP32, num_classes=4, ema_decay=0.99, donate=False)
+    batch = {"image": jnp.ones((2, 32, 32, 3)), "label": jnp.zeros((2,), jnp.int32)}
+    state2, _ = step(state, batch)
+    diffs = [float(jnp.abs(e2 - e1).max()) for e1, e2 in
+             zip(jax.tree.leaves(state.ema), jax.tree.leaves(state2.ema))]
+    assert any(d > 0 for d in diffs)
