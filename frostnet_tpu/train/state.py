@@ -166,3 +166,31 @@ def make_eval_step(model, mode: QuantMode, num_classes: Optional[int] = None,
         return metrics
 
     return jax.jit(step)
+
+
+def recalibrate(model, state: QATTrainState, batches, mode: QuantMode = QAT,
+                rng: Optional[jax.Array] = None) -> QATTrainState:
+    """Re-estimate BN running stats + quant observers before eval/freeze.
+
+    Runs forward passes in QAT-train mode without optimizer updates — the
+    standard pre-convert calibration pass (the reference's 1-batch
+    ``train_one_iter`` calibration, helper_functions.py:166-230, generalized
+    to N batches). Stabilizes the folded-BN eval path when training was short
+    or the LR was still high at the end.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    @jax.jit
+    def calib(variables, image):
+        _, upd = model.apply(variables, image, mode=mode, train=True,
+                             mutable=["batch_stats", "quant"],
+                             rngs={"dropout": rng})
+        return upd
+
+    batch_stats, quant = state.batch_stats, state.quant
+    for batch in batches:
+        upd = calib({"params": state.params, "batch_stats": batch_stats,
+                     "quant": quant}, batch["image"])
+        batch_stats = upd.get("batch_stats", batch_stats)
+        quant = upd.get("quant", quant)
+    return state.replace(batch_stats=batch_stats, quant=quant)
