@@ -89,3 +89,34 @@ def test_ema_state_does_not_alias_params():
     diffs = [float(jnp.abs(e2 - e1).max()) for e1, e2 in
              zip(jax.tree.leaves(state.ema), jax.tree.leaves(state2.ema))]
     assert any(d > 0 for d in diffs)
+
+
+def test_recalibrate_converges_stats_without_touching_params():
+    from frostnet_tpu.models.frostnet import FrostNet
+    from frostnet_tpu.train import recalibrate
+
+    model = FrostNet(mode="tiny", width_mult=1.0, quantized=True, num_classes=3)
+    tx = get_optimizer("QSGD", 0.1)
+    rng = np.random.RandomState(0)
+    batch = {"image": jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32)),
+             "label": jnp.zeros((8,), jnp.int32)}
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch["image"],
+                               init_kwargs={"mode": QAT, "train": True})
+
+    # 40 passes of one fixed batch: the momentum-0.1 EMA converges to that
+    # batch's activation statistics (0.9^40 ~ 1.5% residual)
+    state1 = recalibrate(model, state, [batch] * 40)
+    # params and optimizer state are untouched (forward-only)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert state1.step == state.step
+    # running stats moved
+    d0 = max(float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(state.batch_stats), jax.tree.leaves(state1.batch_stats)))
+    assert d0 > 1e-3, d0
+    # ... and have converged: another 10 passes barely move them
+    state2 = recalibrate(model, state1, [batch] * 10)
+    d1 = max(float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
+             for a, b in zip(jax.tree.leaves(state1.batch_stats),
+                             jax.tree.leaves(state2.batch_stats)))
+    assert d1 < 0.35 * max(d0, 1.0), (d0, d1)
