@@ -60,6 +60,13 @@ def test_statassist_qat_train_steps_on_mesh():
     m = eval_step(state, batches[2])
     assert np.isfinite(float(m["loss"]))
 
+    # recalibration runs unchanged over the sharded state/batches
+    from frostnet_tpu.train import recalibrate
+    state_rc = recalibrate(model, state, batches[:2])
+    assert int(state_rc.step) == int(state.step)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(state_rc.batch_stats))
+
 
 def test_batch_sharding_over_dp():
     mesh = make_mesh()
