@@ -9,7 +9,7 @@ raise with instructions instead of fetching).
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator
 
 import numpy as np
 

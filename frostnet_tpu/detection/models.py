@@ -9,7 +9,7 @@ the feat net only, qtrainval.py:241-251) — mirrored here with
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import flax.linen as fnn
 import jax.numpy as jnp

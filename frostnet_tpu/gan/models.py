@@ -9,7 +9,7 @@ networks.py:411-431).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any
 
 import flax.struct
 import jax

@@ -13,7 +13,7 @@ Re-implements Style_Transfer/models/networks.py:
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as fnn
 import jax

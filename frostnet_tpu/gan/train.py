@@ -19,15 +19,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..nn import FP32, QAT
-from ..optim import adam, qadam, set_warmup, get_lr_scheduler
+from ..optim import adam, qadam, set_warmup
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from .data import AlignedDataset, UnalignedDataset, SyntheticPairs
 from .image_pool import ImagePool
-from .models import NetState, make_net_state, make_pix2pix_steps, make_cyclegan_steps
+from .models import make_net_state, make_pix2pix_steps, make_cyclegan_steps
 from .networks import define_d, define_g
 
 

@@ -7,7 +7,7 @@ used for accuracy/latency baselines only).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as fnn
 import jax

@@ -17,7 +17,7 @@ Design notes vs the reference:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import flax.linen as fnn
 import jax.numpy as jnp

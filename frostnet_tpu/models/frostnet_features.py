@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn import QuantMode, dequant
+from ..nn import QuantMode
 from ..quant import QConfig, QNNPACK
 from .frostnet import FrostNet
 

@@ -7,7 +7,7 @@ trunk + 3 FC head.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Union
+from typing import Any
 
 import flax.linen as fnn
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from ..quant.qtensor import QTensor
 from .conv import QConvBNAct, kaiming_normal_fan_out
 from .mode import QuantMode
 from .pool import global_avg_pool
-from .quant_ops import QAdd, QMul, add_scalar, mul_scalar, observed_fake_quant, stored_qparams
+from .quant_ops import QAdd, QMul, add_scalar, mul_scalar, observed_fake_quant
 
 
 def _relu(x):

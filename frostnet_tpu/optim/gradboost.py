@@ -26,7 +26,7 @@ reference's host-side ``np.random.laplace(...).cuda()`` round trip
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

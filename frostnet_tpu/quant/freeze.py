@@ -11,7 +11,7 @@ Style_Transfer/test.py:69-71).
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 

@@ -9,7 +9,7 @@ host-side numpy pipelines. A synthetic source covers smoke/bench runs.
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 

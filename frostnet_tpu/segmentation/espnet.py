@@ -8,7 +8,7 @@ Re-implements Semantic_Segmentation/model/backbones/espnetv2.py (EESP
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional
+from typing import Any
 
 import flax.linen as fnn
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import argparse
 import dataclasses
 import json
 import os
-import time
 from functools import partial
 from typing import Optional
 

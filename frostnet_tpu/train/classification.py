@@ -32,10 +32,10 @@ from ..models import create_model
 from ..nn import FP32, QAT, QAT_FROZEN, INT8
 from ..optim import get_optimizer, grouped_weight_decay, get_lr_scheduler
 from ..parallel import make_mesh, replicate
-from ..utils.checkpoint import save_checkpoint, restore_checkpoint
+from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.metrics import AverageMeter
-from .state import QATTrainState, create_train_state, make_train_step, make_eval_step
+from .state import create_train_state, make_train_step, make_eval_step
 
 
 @dataclasses.dataclass

@@ -17,8 +17,7 @@ DataParallelCriteria's loss-parallel trick, SURVEY.md §2.7).
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import flax.struct
 import jax

@@ -11,7 +11,6 @@ import os
 from typing import Any
 
 import flax.serialization
-import jax
 import orbax.checkpoint as ocp
 
 
