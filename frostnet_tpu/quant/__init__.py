@@ -26,6 +26,7 @@ from .fake_quant import (
 )
 from .folding import fold_bn, bn_scale_factor
 from .freeze import freeze
+from .export import export_int8, load_int8
 from .qtensor import QTensor
 
 __all__ = [
@@ -50,5 +51,7 @@ __all__ = [
     "fold_bn",
     "bn_scale_factor",
     "freeze",
+    "export_int8",
+    "load_int8",
     "QTensor",
 ]
