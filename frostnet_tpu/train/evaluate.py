@@ -83,6 +83,10 @@ def main(args):
                 f"top5={int8.get('top5', 0):.4f}")
     size_mb = int8_model_size_bytes(model, state) / 1e6
     logger.info(f"INT8 model size: {size_mb:.2f} MB")
+    if args.export_int8:
+        from ..quant import export_int8
+        nbytes = export_int8(state.model_variables, args.export_int8)
+        logger.info(f"INT8 artifact written: {args.export_int8} ({nbytes/1e6:.2f} MB)")
     return {"qat": qat, "int8": int8, "int8_size_mb": size_mb}
 
 
@@ -97,6 +101,8 @@ def cli():
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--calib_batches", type=int, default=0,
                    help="forward-only BN/observer recalibration batches before eval")
+    p.add_argument("--export_int8", default=None, metavar="PATH",
+                   help="write the converted INT8 deployment artifact (.npz)")
     main(p.parse_args())
 
 
