@@ -78,6 +78,11 @@ def main(args):
         batch = next(iter(ds))
         state, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
 
+    if args.export_int8:
+        from ..quant import export_int8
+        nbytes = export_int8(state.model_variables, args.export_int8)
+        logger.info(f"INT8 artifact written: {args.export_int8} ({nbytes/1e6:.2f} MB)")
+
     qat = evaluate_seg(model, state, ds, mesh, QAT_FROZEN, cfg)
     int8 = evaluate_seg(model, state, ds, mesh, INT8, cfg)
     logger.info(f"mIoU(QAT sim)={qat['miou']:.4f}  mIoU(INT8 frozen)={int8['miou']:.4f}")
@@ -109,6 +114,8 @@ def cli():
     p.add_argument("--crop_size", type=int, default=96)
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--save_images", default=None)
+    p.add_argument("--export_int8", default=None, metavar="PATH",
+                   help="write the converted INT8 deployment artifact (.npz)")
     main(p.parse_args())
 
 
