@@ -25,7 +25,8 @@ from .tdsod import build_tdsod
 
 def evaluator(net_type="qssd", dataset="synthetic", data_root="./data/VOCdevkit",
               num_classes=21, batch_size=4, max_batches=None,
-              feat_vars=None, head_vars=None, modes=("qat", "int8")):
+              feat_vars=None, head_vars=None, modes=("qat", "int8"),
+              export_int8_path=None):
     """Programmatic entry (the reference's `evaluator(...)` call from the
     train loop, qtrainval.py:306-319). Pass trained (feat_vars, head_vars)
     or get randomly-initialized nets for smoke runs."""
@@ -50,6 +51,13 @@ def evaluator(net_type="qssd", dataset="synthetic", data_root="./data/VOCdevkit"
         head_vars = jax.jit(lambda r, s: head.init(r, s))(
             rng, [jnp.zeros(s.shape, s.dtype) for s in sources])
 
+    if export_int8_path:
+        from ..quant import export_int8
+        fb = export_int8(feat_vars, export_int8_path + "_feat")
+        hb = export_int8(head_vars, export_int8_path + "_head")
+        logger.info(f"INT8 artifacts written: {export_int8_path}_feat/_head "
+                    f"({(fb + hb)/1e6:.2f} MB)")
+
     results = {}
     mode_map = {"qat": QAT_FROZEN, "int8": INT8}
     for name in modes:
@@ -68,9 +76,11 @@ def cli():
     p.add_argument("--num_classes", type=int, default=21)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--export_int8", default=None, metavar="PATH",
+                   help="write converted INT8 deployment artifacts (PATH_feat/_head .npz)")
     a = p.parse_args()
     evaluator(a.net_type, a.dataset, a.data_root, a.num_classes, a.batch_size,
-              a.max_batches)
+              a.max_batches, export_int8_path=a.export_int8)
 
 
 if __name__ == "__main__":
