@@ -38,6 +38,11 @@ def main(args):
         ds = AlignedDataset(args.data_root, "test", 1,
                             args.crop_size, args.crop_size, seed=1)
 
+    if args.export_int8:
+        from ..quant import export_int8
+        nbytes = export_int8(g_state.variables, args.export_int8)
+        print(f"INT8 netG artifact written: {args.export_int8} ({nbytes/1e6:.2f} MB)")
+
     qat_fn = jax.jit(lambda v, x: netG.apply(v, x, mode=QAT_FROZEN))
     int8_fn = jax.jit(lambda v, x: netG.apply(v, x, mode=INT8))
     gallery = HTMLGallery(os.path.join(args.results_dir, "web"), "gan test")
@@ -64,6 +69,8 @@ def cli():
     p.add_argument("--crop_size", type=int, default=256)
     p.add_argument("--num_test", type=int, default=4)
     p.add_argument("--results_dir", default="./results/gan")
+    p.add_argument("--export_int8", default=None, metavar="PATH",
+                   help="write the converted INT8 netG artifact (.npz)")
     main(p.parse_args())
 
 
