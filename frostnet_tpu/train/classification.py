@@ -67,6 +67,9 @@ class ClassificationConfig:
     save_dir: str = "./runs/classification"
     log_every: int = 10
     mp: int = 1                  # model-parallel axis size
+    resume: bool = False         # continue from save_dir/checkpoint (the
+                                 # reference's checkpoint.pth.tar resume flow,
+                                 # helper_functions.py:400-407)
 
     @classmethod
     def from_json(cls, path):
@@ -153,6 +156,18 @@ def main(cfg: ClassificationConfig):
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, cfg.image_size, cfg.image_size, 3), jnp.float32)
     state = create_train_state(model, tx, rng, sample, ema_decay=cfg.ema_decay)
+
+    start_epoch, best_top1, resumed = 0, -1.0, False
+    ckpt_path = os.path.join(cfg.save_dir, "checkpoint")
+    meta_path = os.path.join(cfg.save_dir, "checkpoint_meta.json")
+    if cfg.resume and os.path.exists(meta_path):
+        from ..utils.checkpoint import restore_checkpoint
+        state = restore_checkpoint(ckpt_path, state)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        start_epoch, best_top1 = meta["qat_epoch"], meta["best_top1"]
+        resumed = True  # checkpoints are written in the QAT phase only
+
     state = state.replace(
         params=replicate(state.params, mesh),
         batch_stats=replicate(state.batch_stats, mesh),
@@ -164,25 +179,30 @@ def main(cfg: ClassificationConfig):
                 f"mesh {dict(mesh.shape)}")
 
     # ---------------- StatAssist FP32 warm-up (train.py:149-160) ----------
-    fp_step = make_train_step(model, FP32, num_classes=cfg.num_classes,
-                              label_smoothing=cfg.label_smoothing,
-                              ema_decay=cfg.ema_decay)
-    for epoch in range(cfg.fp_epochs):
-        state, summary = _run_epoch(fp_step, state, train_ds, mesh, epoch,
-                                    "fp_warmup", logger, cfg.log_every,
-                                    cfg.steps_per_epoch)
-        logger.info(f"[fp_warmup {epoch}] {summary}")
+    if resumed:
+        logger.info(f"resumed from {ckpt_path} at qat epoch {start_epoch} "
+                    f"(step {int(state.step)}, best_top1 {best_top1:.4f})")
+    else:
+        fp_step = make_train_step(model, FP32, num_classes=cfg.num_classes,
+                                  label_smoothing=cfg.label_smoothing,
+                                  ema_decay=cfg.ema_decay)
+        for epoch in range(cfg.fp_epochs):
+            state, summary = _run_epoch(fp_step, state, train_ds, mesh, epoch,
+                                        "fp_warmup", logger, cfg.log_every,
+                                        cfg.steps_per_epoch)
+            logger.info(f"[fp_warmup {epoch}] {summary}")
 
     # is_warmup=False (train.py:162-163); no graph rewrite needed for QAT.
+    # (idempotent on resume — the restored opt_state is already out of warm-up)
     state = state.start_qat()
-    logger.info("exp_sensitivity calibration fin. -> QAT phase")
+    if not resumed:
+        logger.info("exp_sensitivity calibration fin. -> QAT phase")
 
     # ---------------- QAT epochs (train.py:178-236) ------------------------
     qat_step = make_train_step(model, QAT, num_classes=cfg.num_classes,
                                label_smoothing=cfg.label_smoothing,
                                ema_decay=cfg.ema_decay)
-    best_top1 = -1.0
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         state, summary = _run_epoch(qat_step, state, train_ds, mesh, epoch,
                                     "qat", logger, cfg.log_every,
                                     cfg.steps_per_epoch)
@@ -191,10 +211,12 @@ def main(cfg: ClassificationConfig):
         logger.log_scalars({f"val/{k}": v for k, v in val_metrics.items()},
                            step=int(state.step))
         logger.info(f"[qat {epoch}] train {summary} val {val_metrics}")
-        save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"), state)
+        save_checkpoint(ckpt_path, state)
         if val_metrics.get("top1", 0.0) > best_top1:
             best_top1 = val_metrics.get("top1", 0.0)
             save_checkpoint(os.path.join(cfg.save_dir, "best"), state)
+        with open(meta_path, "w") as f:
+            json.dump({"qat_epoch": epoch + 1, "best_top1": float(best_top1)}, f)
 
     # ---------------- dual-accuracy eval (evaluate.py:129-138) ------------
     qat_metrics = evaluate(model, state, val_ds, mesh, QAT_FROZEN,
