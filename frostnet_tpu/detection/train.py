@@ -49,6 +49,9 @@ class DetConfig:
     max_iter: Optional[int] = None      # default from cfg
     warmup_iters: Optional[int] = None  # default 2 epochs
     save_every: int = 10000
+    resume_iter: Optional[int] = None   # continue from save_dir/ssd300_<iter>
+                                        # (reference --resume weight pairs,
+                                        # qtrainval.py:43-46,135-137)
     seed: int = 0
     save_dir: str = "./runs/detection"
 
@@ -144,6 +147,12 @@ def main(cfg: DetConfig):
     qat_step = make_det_train_step(feat, head, QAT, priors, cfg.num_classes)
 
     it = 0
+    if cfg.resume_iter:
+        from ..utils.checkpoint import restore_checkpoint
+        state = restore_checkpoint(
+            os.path.join(cfg.save_dir, f"ssd300_{cfg.resume_iter}"), state)
+        it = cfg.resume_iter
+        logger.info(f"resumed from ssd300_{it} (step {int(state.step)})")
     data_iter = iter(ds)
 
     def next_batch():
@@ -158,7 +167,9 @@ def main(cfg: DetConfig):
     while it < warmup_iters:  # FP warm-up (qtrainval.py:187-237)
         state, m = fp_step(state, next_batch())
         it += 1
-    logger.info(f"[warmup done @ {it}] loss={float(m['loss']):.4f}")
+        if it == warmup_iters:
+            logger.info(f"[warmup done @ {it}] loss={float(m['loss']):.4f}")
+    # idempotent on resume (the restored opt_state is already out of warm-up)
     state = state.replace(opt_state=set_warmup(state.opt_state, False))
 
     while it < max_iter:      # QAT iterations (qtrainval.py:259-327)

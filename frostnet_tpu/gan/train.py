@@ -54,6 +54,9 @@ class GANConfig:
     steps_per_epoch: Optional[int] = None
     seed: int = 0
     save_dir: str = "./runs/gan"
+    continue_train: bool = False # load latest_G/latest_D and keep training
+                                 # (reference --continue_train,
+                                 # base_model.py:86-88)
 
 
 def _dataset(cfg: GANConfig):
@@ -93,6 +96,14 @@ def train_pix2pix(cfg: GANConfig, logger):
                              jnp.concatenate([sample, sample_b], -1),
                              init_kwargs={"train": True})
 
+    resumed = False
+    if cfg.continue_train and os.path.exists(os.path.join(cfg.save_dir, "latest_D")):
+        from ..utils.checkpoint import restore_checkpoint
+        g_state = restore_checkpoint(os.path.join(cfg.save_dir, "latest_G"), g_state)
+        d_state = restore_checkpoint(os.path.join(cfg.save_dir, "latest_D"), d_state)
+        resumed = True
+        logger.info(f"continue_train: restored latest_G/latest_D from {cfg.save_dir}")
+
     def run_phase(mode, epochs, tag):
         nonlocal g_state, d_state
         d_step, g_step = make_pix2pix_steps(netG, netD, mode, cfg.gan_mode, cfg.lambda_l1)
@@ -108,7 +119,9 @@ def train_pix2pix(cfg: GANConfig, logger):
                            **{k: float(v) for k, v in mg.items()}}
             logger.info(f"[{tag} {epoch}] {metrics}")
 
-    run_phase(FP32, cfg.fp_epochs, "fp_warmup")
+    if not resumed:
+        run_phase(FP32, cfg.fp_epochs, "fp_warmup")
+    # idempotent on resume (the restored opt_state is already out of warm-up)
     g_state = g_state.replace(opt_state=set_warmup(g_state.opt_state, False))
     run_phase(QAT, cfg.epochs, "qat")
     return g_state, d_state
@@ -169,6 +182,7 @@ def main(cfg: GANConfig):
     if cfg.model == "pix2pix":
         g, d = train_pix2pix(cfg, logger)
         save_checkpoint(os.path.join(cfg.save_dir, "latest_G"), g)
+        save_checkpoint(os.path.join(cfg.save_dir, "latest_D"), d)
     elif cfg.model == "cycle_gan":
         (gA, gB), _ = train_cyclegan(cfg, logger)
         save_checkpoint(os.path.join(cfg.save_dir, "latest_G_A"), gA)

@@ -59,6 +59,8 @@ class SegConfig:
     seed: int = 42
     save_dir: str = "./runs/segmentation"
     ignore_index: int = CITYSCAPES_IGNORE
+    resume: bool = False            # continue from save_dir/checkpoint
+                                    # (reference --resume, train.py:228-236)
 
 
 def _dataset(cfg: SegConfig, train: bool):
@@ -151,6 +153,18 @@ def main(cfg: SegConfig):
     sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
     state = create_train_state(model, tx, jax.random.PRNGKey(cfg.seed), sample,
                                init_kwargs={"mode": QAT, "train": True})
+
+    start_epoch, best, resumed = 0, -1.0, False
+    ckpt_path = os.path.join(cfg.save_dir, "checkpoint")
+    meta_path = os.path.join(cfg.save_dir, "checkpoint_meta.json")
+    if cfg.resume and os.path.exists(meta_path):
+        from ..utils.checkpoint import restore_checkpoint
+        state = restore_checkpoint(ckpt_path, state)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        start_epoch, best = meta["qat_epoch"], meta["best_miou"]
+        resumed = True
+
     state = state.replace(
         params=replicate(state.params, mesh),
         batch_stats=replicate(state.batch_stats, mesh),
@@ -170,21 +184,26 @@ def main(cfg: SegConfig):
         _, miou = miou_from_confusion(jnp.asarray(cm_total))
         logger.info(f"[{tag} {epoch}] loss={np.mean(losses):.4f} miou={float(miou):.4f}")
 
-    fp_step = make_seg_train_step(model, FP32, class_weights, cfg.ignore_index, cfg.num_classes)
-    for epoch in range(cfg.fp_epochs):
-        run_epoch(fp_step, "fp_warmup", epoch)
-    state = state.start_qat()
+    if resumed:
+        logger.info(f"resumed from {ckpt_path} at qat epoch {start_epoch} "
+                    f"(step {int(state.step)}, best_miou {best:.4f})")
+    else:
+        fp_step = make_seg_train_step(model, FP32, class_weights, cfg.ignore_index, cfg.num_classes)
+        for epoch in range(cfg.fp_epochs):
+            run_epoch(fp_step, "fp_warmup", epoch)
+    state = state.start_qat()  # idempotent on resume
 
     qat_step = make_seg_train_step(model, QAT, class_weights, cfg.ignore_index, cfg.num_classes)
-    best = -1.0
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         run_epoch(qat_step, "qat", epoch)
         val = evaluate_seg(model, state, val_ds, mesh, QAT_FROZEN, cfg, cfg.steps_per_epoch)
         logger.info(f"[val {epoch}] miou={val['miou']:.4f}")
-        save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"), state)
+        save_checkpoint(ckpt_path, state)
         if val["miou"] > best:
             best = val["miou"]
             save_checkpoint(os.path.join(cfg.save_dir, "best"), state)
+        with open(meta_path, "w") as f:
+            json.dump({"qat_epoch": epoch + 1, "best_miou": float(best)}, f)
 
     qat = evaluate_seg(model, state, val_ds, mesh, QAT_FROZEN, cfg, cfg.steps_per_epoch)
     int8 = evaluate_seg(model, state, val_ds, mesh, INT8, cfg, cfg.steps_per_epoch)
