@@ -30,7 +30,27 @@ STEPS = int(os.environ.get("BENCH_STEPS", 20))
 IMAGE = 224
 
 
+def _wait_for_device(max_probes: int = 8, sleep_s: int = 60) -> None:
+    """The axon tunnel periodically degrades for minutes at a time; probe it
+    in a killable subprocess so a transient outage delays the bench instead
+    of hanging it. Proceeds after the retry budget either way."""
+    import subprocess
+    import sys
+
+    for _ in range(max_probes):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=90, capture_output=True, text=True)
+            if r.returncode == 0 and r.stdout.strip():
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(sleep_s)
+
+
 def main():
+    _wait_for_device()
     from frostnet_tpu.models import create_model
     from frostnet_tpu.nn import QAT
     from frostnet_tpu.optim import get_optimizer, grouped_weight_decay
