@@ -78,3 +78,42 @@ def test_export_int8_is_smaller_on_disk(tmp_path):
     # conv kernels dominate -> close to 4x (npz header overhead on the many
     # small observer arrays eats a bit of it at tiny model scale)
     assert ratio > 2.0, ratio
+
+
+def test_export_int8_roundtrip_fbgemm_per_channel(tmp_path):
+    """Per-channel weights (fbgemm): channel axis is inferred from the
+    observer shape for both HWIO conv kernels and QDense (I,F,1,1) kernels."""
+    import flax.linen as fnn
+
+    from frostnet_tpu.nn import QConvBNAct, QDense, QuantStub, dequant
+    from frostnet_tpu.quant import FBGEMM
+
+    class Tiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, mode, train=False):
+            x = QuantStub(qconfig=FBGEMM)(x, mode)
+            x = QConvBNAct(8, 3, padding=1, qconfig=FBGEMM, act="relu")(
+                x, mode=mode, train=train)
+            x = x.dequantize() if hasattr(x, "dequantize") else x
+            x = x.mean(axis=(1, 2))
+            x = QDense(4, qconfig=FBGEMM)(x, mode)
+            return dequant(x)
+
+    model = Tiny()
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    variables = jax.jit(lambda r, x: model.init(r, x, mode=QAT, train=True))(
+        jax.random.PRNGKey(0), img)
+    # populate observers + move BN stats
+    _, upd = model.apply(variables, img, mode=QAT, train=True,
+                         mutable=["batch_stats", "quant"])
+    variables = {**variables, **upd}
+
+    from frostnet_tpu.quant import export_int8, load_int8
+    path = str(tmp_path / "fbgemm.npz")
+    export_int8(variables, path, qconfig=FBGEMM)
+    restored = load_int8(path)
+
+    ref = model.apply(variables, img, mode=INT8)
+    got = model.apply(restored, img, mode=INT8)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
