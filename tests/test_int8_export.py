@@ -117,3 +117,21 @@ def test_export_int8_roundtrip_fbgemm_per_channel(tmp_path):
     ref = model.apply(variables, img, mode=INT8)
     got = model.apply(restored, img, mode=INT8)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_frozen_int8_serving_data_parallel():
+    """freeze()'d INT8 inference over a dp-sharded batch matches the
+    single-device result (the serving-at-scale path: replicated int8
+    closure constants, batch over 'dp')."""
+    from frostnet_tpu.parallel import make_mesh, shard_batch
+
+    model, state, batch = _trained_state()
+    infer = freeze(model, state.model_variables)
+    ref = np.asarray(infer(batch["image"]))
+
+    mesh = make_mesh()  # 8-way dp (conftest forces 8 CPU devices)
+    big = jnp.tile(batch["image"], (4, 1, 1, 1))  # 16 examples over 8 devices
+    sharded = shard_batch({"image": big}, mesh)["image"]
+    out = np.asarray(infer(sharded))
+    np.testing.assert_array_equal(out[:4], ref)
+    np.testing.assert_array_equal(out[4:8], ref)
