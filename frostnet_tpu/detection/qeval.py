@@ -69,6 +69,8 @@ def evaluator(net_type="qssd", dataset="synthetic", data_root="./data/VOCdevkit"
 
 
 def cli():
+    from ..utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--net_type", default="qssd", choices=["qssd", "qtdsod"])
     p.add_argument("--dataset", default="synthetic")

@@ -184,6 +184,8 @@ def main(cfg: DetConfig):
 
 
 def cli():
+    from ..utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     for f in dataclasses.fields(DetConfig):
         typ = {"int": int, "float": float, "str": str,

@@ -61,6 +61,8 @@ def main(args):
 
 
 def cli():
+    from ..utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--netG", default="resnet_6blocks")

@@ -193,6 +193,8 @@ def main(cfg: GANConfig):
 
 
 def cli():
+    from ..utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     for f in dataclasses.fields(GANConfig):
         typ = {"int": int, "float": float, "str": str, "bool": lambda s: s.lower() in ("1", "true"),

@@ -105,6 +105,8 @@ def main(args):
 
 
 def cli():
+    from ..utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="mobilenetv3_RE_small")
     p.add_argument("--checkpoint", default=None)

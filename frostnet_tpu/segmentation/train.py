@@ -212,6 +212,8 @@ def main(cfg: SegConfig):
 
 
 def cli():
+    from ..utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     for f in dataclasses.fields(SegConfig):
         t = {int: int, float: float, str: str}.get(f.type if isinstance(f.type, type) else str, str)

@@ -229,6 +229,8 @@ def main(cfg: ClassificationConfig):
 
 
 def cli():
+    from ..utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", "-c", type=str, default=None)
     for f in dataclasses.fields(ClassificationConfig):

@@ -71,6 +71,8 @@ def main(args):
 
 
 def cli():
+    from ..utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="qmobilenet_v2_ReLU")
     p.add_argument("--backend", default="fbgemm")

@@ -4,13 +4,21 @@ pattern generalized to all four workloads): run a tiny train cycle for each
 trainer on synthetic data and fail on nonzero exit. Use --fast to shrink to
 one workload.
 
-Run: python scripts/test_before_push.py [--fast]
+Runs hermetically on CPU by default (the axon tunnel degrades for tens of
+minutes at a time and would turn a pre-push gate into a coin flip); pass
+--device to smoke on the real TPU instead.
+
+Run: python scripts/test_before_push.py [--fast] [--device]
 """
+import os
 import subprocess
 import sys
 import tempfile
 
 FAST = "--fast" in sys.argv
+ENV = dict(os.environ)
+if "--device" not in sys.argv:
+    ENV["JAX_PLATFORMS"] = "cpu"
 
 JOBS = [
     ("classification",
@@ -40,7 +48,7 @@ failed = []
 for name, cmd in JOBS:
     with tempfile.TemporaryDirectory() as tmp:
         print(f"=== {name} ===", flush=True)
-        r = subprocess.run(cmd + ["--save_dir", tmp])
+        r = subprocess.run(cmd + ["--save_dir", tmp], env=ENV)
         if r.returncode != 0:
             failed.append(name)
             print(f"FAILED: {name}", flush=True)
