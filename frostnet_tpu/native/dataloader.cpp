@@ -132,6 +132,7 @@ struct Loader {
   std::condition_variable cv_put, cv_get;
   std::queue<Batch> ready;
   std::atomic<long> next_batch{0};
+  long delivered = 0;  // batches handed to the consumer; guarded by mu
   long total_batches = 0;
   std::atomic<bool> stop{false};
   std::vector<long> order;
@@ -219,15 +220,18 @@ long fndl_batches_per_epoch(void* h) {
 int fndl_next(void* h, float* images, int* labels_out) {
   auto* l = static_cast<Loader*>(h);
   std::unique_lock<std::mutex> lk(l->mu);
+  // End-of-epoch = all batches DELIVERED, not all batches CLAIMED: workers
+  // bump next_batch when they claim work, before decoding/pushing it, so a
+  // claimed-based predicate can fire with batches still in flight and drop
+  // them (observed as a flaky short epoch under CPU contention).
   l->cv_get.wait(lk, [&] {
-    return !l->ready.empty() ||
-           (l->next_batch.load() >= l->total_batches &&
-            static_cast<long>(l->ready.size()) == 0) ||
+    return !l->ready.empty() || l->delivered >= l->total_batches ||
            l->stop.load();
   });
   if (l->ready.empty()) return 0;
   Batch b = std::move(l->ready.front());
   l->ready.pop();
+  ++l->delivered;
   l->cv_put.notify_one();
   lk.unlock();
   std::memcpy(images, b.images.data(), b.images.size() * sizeof(float));
