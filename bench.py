@@ -1,56 +1,104 @@
 """Benchmark: FrostNet-1.0 (large) QAT training throughput, images/sec/chip.
 
 This is the BASELINE.json headline metric: fake-quant (QAT) train-step
-throughput at 224x224 on real TPU. Synthetic data is staged with the
-prefetch pipeline so only the device hot loop is measured.
+throughput at 224x224 on real TPU. Synthetic data is staged on device so
+only the device hot loop is measured.
 
-``vs_baseline`` normalizes against the BASELINE.md target "≥2× A100-eager
+``vs_baseline`` normalizes against the BASELINE.md target "≥2x A100-eager
 QAT images/sec/chip": no A100 figure exists in the reference repo, so we use
 a documented estimate A100_EAGER_QAT = 950 img/s for FrostNet-1.0-scale
 eager-mode PyTorch QAT (per-module FakeQuantize graph, fp32 eager, bs 384)
 -> target = 1900 img/s; vs_baseline = measured / target (>1.0 beats it).
+
+Robustness contract (round-2 fix for BENCH_r01 rc=124/parsed=null):
+- ALWAYS prints exactly one JSON line, even on tunnel outage / cold compile /
+  crash. Degraded runs emit {"value": 0, "degraded": true, "reason": ...}.
+- A watchdog hard-caps wall clock at BENCH_BUDGET_S (default 420 s) and
+  emits the degraded line before exiting.
+- The compile cache lives in the COMMITTED bench_cache/jax directory, so the
+  driver's run reuses the TPU executables pre-warmed in-repo (fresh remote
+  compiles take minutes; warm ones take seconds).
 """
 import json
 import os
+import subprocess
+import sys
+import threading
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
-
-import jax
-import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 420))
 
 A100_EAGER_QAT_IMG_S = 950.0
 TARGET = 2.0 * A100_EAGER_QAT_IMG_S
 
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
-STEPS = int(os.environ.get("BENCH_STEPS", 20))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
 IMAGE = 224
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(REPO, "bench_cache", "jax"))
+os.environ["JAX_COMPILATION_CACHE_DIR"] = CACHE
 
-def _wait_for_device(max_probes: int = 8, sleep_s: int = 60) -> None:
-    """The axon tunnel periodically degrades for minutes at a time; probe it
-    in a killable subprocess so a transient outage delays the bench instead
-    of hanging it. Proceeds after the retry budget either way."""
-    import subprocess
-    import sys
+_emitted = threading.Event()
 
-    for _ in range(max_probes):
+
+def emit(value: float, vs_baseline: float, **extra) -> None:
+    """Print the one driver-visible JSON line (at most once)."""
+    if _emitted.is_set():
+        return
+    _emitted.set()
+    rec = {
+        "metric": "frostnet_large_1_0 QAT train throughput (224x224, bf16 compute)",
+        "value": value,
+        "unit": "images/sec/chip",
+        "vs_baseline": vs_baseline,
+    }
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _watchdog() -> None:
+    remaining = BUDGET_S - (time.monotonic() - START)
+    if remaining > 0:
+        time.sleep(remaining)
+    emit(0.0, 0.0, degraded=True,
+         reason=f"wall-clock budget {BUDGET_S:.0f}s exceeded "
+                "(tunnel degraded or cold compile)")
+    # os._exit fires even if the main thread is stuck inside a C call
+    # (hung jax.devices() during a tunnel outage).
+    os._exit(0)
+
+
+def _probe_device(probes: int = 2, timeout_s: int = 45, sleep_s: int = 15) -> bool:
+    """The axon tunnel periodically degrades; probe in a killable subprocess
+    so an outage fails fast instead of hanging the bench."""
+    for i in range(probes):
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-                timeout=90, capture_output=True, text=True)
+                timeout=timeout_s, capture_output=True, text=True)
             if r.returncode == 0 and r.stdout.strip():
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
-        time.sleep(sleep_s)
+        if i + 1 < probes:
+            time.sleep(sleep_s)
+    return False
 
 
-def main():
-    _wait_for_device()
+def main() -> None:
+    if not _probe_device():
+        emit(0.0, 0.0, degraded=True, reason="TPU unreachable after probes")
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from frostnet_tpu.models import create_model
     from frostnet_tpu.nn import QAT
     from frostnet_tpu.optim import get_optimizer, grouped_weight_decay
@@ -92,13 +140,14 @@ def main():
     dt = time.perf_counter() - t0
 
     img_s_chip = BATCH * STEPS / dt / n_chips
-    print(json.dumps({
-        "metric": "frostnet_large_1_0 QAT train throughput (224x224, bf16 compute)",
-        "value": round(img_s_chip, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_s_chip / TARGET, 3),
-    }))
+    emit(round(img_s_chip, 1), round(img_s_chip / TARGET, 3))
 
 
 if __name__ == "__main__":
-    main()
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the JSON line must always land
+        emit(0.0, 0.0, degraded=True,
+             reason=f"{type(e).__name__}: {e}"[:300])
+    raise SystemExit(0)
