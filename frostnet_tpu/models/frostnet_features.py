@@ -62,7 +62,10 @@ def _set(tree: Dict, path: List[str], value):
     node = tree
     for k in path[:-1]:
         node = node.setdefault(k, {})
-    node[path[-1]] = jnp.asarray(value)
+    # jnp.array (not asarray): on CPU jax can zero-copy a numpy view of torch
+    # storage, and torch mutates BN running stats in place — the loaded
+    # variables must own their buffers.
+    node[path[-1]] = jnp.array(value)
 
 
 def load_torch_frostnet_checkpoint(path_or_state, variables) -> Dict:
