@@ -25,6 +25,18 @@ from ..quant import QConfig, QNNPACK
 from ..quant.qtensor import QTensor
 
 
+# the reference initializes every GAN net with init_net(init_type='normal',
+# init_gain=0.02): conv weights ~ N(0, 0.02), BN gamma ~ N(1, 0.02)
+# (Style_Transfer/models/networks.py:159-209). Without it the PatchGAN's
+# 512->1 output conv under a fan_out init produces O(30) logits at init and
+# the lsgan loss swamps training.
+GAN_KERNEL_INIT = fnn.initializers.normal(0.02)
+
+
+def _gan_bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
 def reflection_pad(x, p: int):
     if isinstance(x, QTensor):
         return QTensor(
@@ -44,7 +56,8 @@ class ResnetBlock(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
-        kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype)
+        kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype,
+                  kernel_init=GAN_KERNEL_INIT, bn_scale_init=_gan_bn_scale_init)
         out = QConvBNAct(self.dim, 3, padding=1, act="relu", name="conv1", **kw)(
             x, mode, train)
         if self.use_dropout and not isinstance(out, QTensor):
@@ -69,7 +82,8 @@ class ResnetGenerator(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
-        kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype)
+        kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype,
+                  kernel_init=GAN_KERNEL_INIT, bn_scale_init=_gan_bn_scale_init)
         ngf = self.ngf
 
         # FP reflection pad enters the quant region (pad then 7x7 valid conv)
@@ -83,7 +97,8 @@ class ResnetGenerator(fnn.Module):
                            name=f"down{i}", **kw)(x, mode, train)
         for i in range(self.n_blocks):
             x = ResnetBlock(ngf * 4, use_dropout=self.use_dropout,
-                            name=f"block{i}", **kw)(x, mode, train)
+                            quantized=self.quantized, qconfig=self.qconfig,
+                            dtype=self.dtype, name=f"block{i}")(x, mode, train)
         for i in range(2):  # upsampling: bilinear resize + conv (no transpose)
             mult = 2 ** (2 - i)
             xf = dequant(x)
@@ -101,7 +116,8 @@ class ResnetGenerator(fnn.Module):
         # FP tail (networks.py:421-425)
         x = reflection_pad(x, 3)
         x = QConvBNAct(self.output_nc, 7, padding=0, use_bn=False, use_bias=True,
-                       act="tanh", quantized=False, name="tail")(x, mode, train)
+                       act="tanh", quantized=False, name="tail",
+                       kernel_init=GAN_KERNEL_INIT)(x, mode, train)
         return x
 
 
@@ -114,7 +130,8 @@ class NLayerDiscriminator(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(quantized=False, dtype=self.dtype)
+        kw = dict(quantized=False, dtype=self.dtype,
+                  kernel_init=GAN_KERNEL_INIT, bn_scale_init=_gan_bn_scale_init)
         x = QConvBNAct(self.ndf, 4, strides=2, padding=1, use_bn=False,
                        use_bias=True, act=None, name="conv0", **kw)(x, train=train)
         x = fnn.leaky_relu(x, 0.2)
@@ -140,7 +157,8 @@ class PixelDiscriminator(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(quantized=False, dtype=self.dtype)
+        kw = dict(quantized=False, dtype=self.dtype,
+                  kernel_init=GAN_KERNEL_INIT, bn_scale_init=_gan_bn_scale_init)
         x = QConvBNAct(self.ndf, 1, use_bn=False, use_bias=True, act=None,
                        name="conv0", **kw)(x, train=train)
         x = fnn.leaky_relu(x, 0.2)

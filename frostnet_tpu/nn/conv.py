@@ -96,6 +96,10 @@ class QConvBNAct(fnn.Module):
     bn_eps: float = 1e-5
     dtype: Any = jnp.float32
     precision: Any = None
+    # GAN networks use normal(0, 0.02) / BN-gamma normal(1, 0.02) like the
+    # reference's init_net (Style_Transfer/models/networks.py:159-209)
+    kernel_init: Any = kaiming_normal_fan_out
+    bn_scale_init: Any = fnn.initializers.ones_init()
 
     def _conv(self, x, w, strides, padding, dilation):
         return jax.lax.conv_general_dilated(
@@ -123,7 +127,7 @@ class QConvBNAct(fnn.Module):
         in_features = (x.q if isinstance(x, QTensor) else x).shape[-1]
         w = self.param(
             "kernel",
-            kaiming_normal_fan_out,
+            self.kernel_init,
             (kh, kw, in_features // self.groups, self.features),
             jnp.float32,
         )
@@ -134,7 +138,7 @@ class QConvBNAct(fnn.Module):
         )
 
         if self.use_bn:
-            gamma = self.param("scale", fnn.initializers.ones_init(), (self.features,), jnp.float32)
+            gamma = self.param("scale", self.bn_scale_init, (self.features,), jnp.float32)
             beta = self.param("bias_bn", fnn.initializers.zeros_init(), (self.features,), jnp.float32)
             ra_mean = self.variable(
                 "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
