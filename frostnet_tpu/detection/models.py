@@ -9,7 +9,7 @@ the feat net only, qtrainval.py:241-251) — mirrored here with
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, List, Optional, Sequence
 
 import flax.linen as fnn
 import jax.numpy as jnp
@@ -126,3 +126,85 @@ def build_ssd(num_classes: int = 21, quantized: bool = True,
     feat = SSDMobileNetV2Feat(quantized=quantized, qconfig=qconfig, dtype=dtype)
     head = SSDHead(num_classes=num_classes, dtype=dtype)
     return feat, head
+
+
+# ---------------------------------------------------------------------------
+# Pretrained float trunk import (the reference qssd recipe loads
+# weights/mobilenet_v2-float.pth into the backbone before training,
+# ssd_qmv2.py:338-341). The checkpoint uses the torchvision MobileNetV2 key
+# layout: features.0.{0,1} stem, features.{1..17}.conv.* blocks,
+# features.18.{0,1} final 1280 conv; classifier.* is ignored (strict=False
+# in the reference).
+# ---------------------------------------------------------------------------
+
+def load_torch_mobilenet_v2_checkpoint(path_or_state, variables):
+    """Load a torchvision-format float MobileNetV2 checkpoint into the
+    SSDMobileNetV2Feat variables (trunk + final_conv; extras stay as-is).
+
+    Returns a new variables dict with 'params' and 'batch_stats' updated.
+    """
+    import numpy as np
+
+    if isinstance(path_or_state, str):
+        import torch
+
+        ckpt = torch.load(path_or_state, map_location="cpu")
+    else:
+        ckpt = path_or_state
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    state = {}
+    for k, v in ckpt.items():
+        k = k[len("module."):] if k.startswith("module.") else k
+        # jnp-independent copy: torch mutates BN buffers in place and numpy
+        # views alias torch storage (see frostnet_features._set)
+        state[k] = np.array(getattr(v, "numpy", lambda: v)())
+
+    from ..models.frostnet_features import flax_to_mutable
+
+    params = flax_to_mutable(variables["params"])
+    batch_stats = flax_to_mutable(variables.get("batch_stats", {}))
+
+    def node(tree, dst: str):
+        for part in dst.split("/")[:-1]:
+            tree = tree.setdefault(part, {})
+        return tree.setdefault(dst.split("/")[-1], {})
+
+    def put_convbn(dst: str, conv_key: str, bn_key: Optional[str]):
+        w = state.get(conv_key + ".weight")
+        if w is None:
+            return 0
+        p = node(params, dst)
+        p["kernel"] = jnp.array(w.transpose(2, 3, 1, 0))
+        n = 1
+        if bn_key is not None:
+            p["scale"] = jnp.array(state[bn_key + ".weight"])
+            p["bias_bn"] = jnp.array(state[bn_key + ".bias"])
+            b = node(batch_stats, dst)
+            b["mean"] = jnp.array(state[bn_key + ".running_mean"])
+            b["var"] = jnp.array(state[bn_key + ".running_var"])
+            n += 4
+        return n
+
+    loaded = put_convbn("stem", "features.0.0", "features.0.1")
+    bidx = 0
+    for (t, c, n_blocks, s, d) in _SSD_MBV2_SETTINGS:
+        for _ in range(n_blocks):
+            f = f"features.{bidx + 1}"
+            blk = f"block{bidx}"
+            if t == 1:
+                loaded += put_convbn(blk + "/dw", f + ".conv.0.0", f + ".conv.0.1")
+                loaded += put_convbn(blk + "/project", f + ".conv.1", f + ".conv.2")
+            else:
+                loaded += put_convbn(blk + "/expand", f + ".conv.0.0", f + ".conv.0.1")
+                loaded += put_convbn(blk + "/dw", f + ".conv.1.0", f + ".conv.1.1")
+                loaded += put_convbn(blk + "/project", f + ".conv.2", f + ".conv.3")
+            bidx += 1
+    loaded += put_convbn("final_conv", "features.18.0", "features.18.1")
+
+    if loaded == 0:
+        raise ValueError("no weights matched — is this a MobileNetV2 checkpoint?")
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = batch_stats
+    return out

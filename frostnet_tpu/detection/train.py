@@ -52,6 +52,11 @@ class DetConfig:
     resume_iter: Optional[int] = None   # continue from save_dir/ssd300_<iter>
                                         # (reference --resume weight pairs,
                                         # qtrainval.py:43-46,135-137)
+    basenet: Optional[str] = None       # pretrained float MobileNetV2 (torch
+                                        # .pth, torchvision key layout) for the
+                                        # qssd trunk — the reference loads
+                                        # weights/mobilenet_v2-float.pth before
+                                        # training (ssd_qmv2.py:338-341)
     seed: int = 0
     save_dir: str = "./runs/detection"
 
@@ -130,6 +135,12 @@ def main(cfg: DetConfig):
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, 300, 300, 3), jnp.float32)
     fv = jax.jit(lambda r, x: feat.init(r, x, mode=QAT, train=True))(rng, sample)
+    if cfg.basenet:
+        if cfg.net_type != "qssd":
+            raise ValueError("--basenet is the qssd MobileNetV2 trunk import")
+        from .models import load_torch_mobilenet_v2_checkpoint
+        fv = load_torch_mobilenet_v2_checkpoint(cfg.basenet, fv)
+        logger.info(f"loaded pretrained trunk from {cfg.basenet}")
     sources_shape = jax.eval_shape(
         lambda v, x: feat.apply(v, x, mode=FP32), fv, sample)
     sources = [jnp.zeros(s.shape, s.dtype) for s in sources_shape]
