@@ -4,6 +4,8 @@ from .datasets import (
     FolderClassification,
     CIFARClassification,
     MNISTClassification,
+    SVHNClassification,
+    build_classification_dataset,
     download_data,
     IMAGENET_MEAN,
     IMAGENET_STD,
@@ -16,6 +18,8 @@ __all__ = [
     "FolderClassification",
     "CIFARClassification",
     "MNISTClassification",
+    "SVHNClassification",
+    "build_classification_dataset",
     "RandAugment",
     "download_data",
     "IMAGENET_MEAN",

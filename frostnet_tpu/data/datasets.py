@@ -238,3 +238,90 @@ class MNISTClassification:
             imgs = (imgs - 0.1307) / 0.3081
             imgs = np.repeat(imgs[..., None], 3, axis=-1)
             yield {"image": imgs.astype(np.float32), "label": self.labels[idx]}
+
+
+class SVHNClassification:
+    """SVHN from the official {train,test}_32x32.mat files (MAT5, X as
+    (32,32,3,N) uint8, y as (N,1) with 10 meaning digit 0 — remapped to 0
+    like torchvision). Transforms follow the reference svhn branch
+    (data_functions.py:163-185): train = RandomResizedCrop(32) + hflip +
+    normalize; test = normalize only."""
+
+    MEAN = np.array([0.4377, 0.4438, 0.4728], np.float32)
+    STD = np.array([0.1980, 0.2010, 0.1970], np.float32)
+
+    def __init__(self, root, train=True, batch_size=128, seed=0):
+        from scipy.io import loadmat
+
+        path = os.path.join(root, f"{'train' if train else 'test'}_32x32.mat")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"{path} missing (no network egress — "
+                                    "place the official SVHN .mat files there).")
+        mat = loadmat(path)
+        self.images = np.ascontiguousarray(mat["X"].transpose(3, 0, 1, 2))
+        labels = mat["y"].reshape(-1).astype(np.int32)
+        self.labels = np.where(labels == 10, 0, labels)
+        self.train = train
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_classes = 10
+
+    def __len__(self):
+        return len(self.images) // self.batch_size
+
+    def _random_resized_crop(self, img: np.ndarray, rng) -> np.ndarray:
+        """torchvision RandomResizedCrop(32): scale (0.08,1), ratio (3/4,4/3)."""
+        from PIL import Image
+
+        h, w = img.shape[:2]
+        area = h * w
+        for _ in range(10):
+            target = area * rng.uniform(0.08, 1.0)
+            ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round(np.sqrt(target * ratio)))
+            ch = int(round(np.sqrt(target / ratio)))
+            if 0 < cw <= w and 0 < ch <= h:
+                y0 = rng.randint(0, h - ch + 1)
+                x0 = rng.randint(0, w - cw + 1)
+                crop = img[y0:y0 + ch, x0:x0 + cw]
+                return np.asarray(Image.fromarray(crop).resize(
+                    (32, 32), Image.BILINEAR))
+        return img  # fallback: already 32x32
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        order = rng.permutation(len(self.images)) if self.train else np.arange(len(self.images))
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            imgs = self.images[idx]
+            if self.train:
+                out = np.empty((len(idx), 32, 32, 3), np.uint8)
+                for i, im in enumerate(imgs):
+                    im = self._random_resized_crop(im, rng)
+                    if rng.rand() < 0.5:
+                        im = im[:, ::-1]
+                    out[i] = im
+                imgs = out
+            imgs = (imgs.astype(np.float32) / 255.0 - self.MEAN) / self.STD
+            yield {"image": imgs.astype(np.float32), "label": self.labels[idx]}
+
+
+def build_classification_dataset(name: str, data_dir: str, train: bool,
+                                 image_size: int = 224, batch_size: int = 64,
+                                 seed: int = 0):
+    """Dataset dispatch over the reference's names (data_functions.py:12-209):
+    cifar10/cifar100/svhn/mnist plus any ImageFolder layout (imagenet,
+    imagenet_tiny, ILSVRC2015, ...)."""
+    key = name.lower()
+    root = os.path.join(data_dir, key)
+    if key == "cifar10":
+        return CIFARClassification(root, train, batch_size, seed)
+    if key == "cifar100":
+        return CIFARClassification(root, train, batch_size, seed, cifar100=True)
+    if key == "svhn":
+        return SVHNClassification(root, train, batch_size, seed)
+    if key == "mnist":
+        return MNISTClassification(root, train, batch_size, seed)
+    folder = os.path.join(data_dir, name, "train" if train else "val")
+    return FolderClassification(folder, image_size, batch_size, train=train,
+                                seed=seed)
