@@ -50,10 +50,10 @@ def _load_lib():
                 ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
                 ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_uint, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int]
             lib.fndl_next.restype = ctypes.c_int
-            lib.fndl_next.argtypes = [ctypes.c_void_p,
-                                      ctypes.POINTER(ctypes.c_float),
+            lib.fndl_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int)]
             lib.fndl_destroy.argtypes = [ctypes.c_void_p]
             lib.fndl_batches_per_epoch.restype = ctypes.c_long
@@ -67,16 +67,30 @@ class NativeClassificationLoader:
     and augmented by C++ worker threads."""
 
     def __init__(self, paths: Sequence[str], labels: Sequence[int],
-                 batch_size: int = 64, image_size: int = 224, threads: int = 8,
+                 batch_size: int = 64, image_size: int = 224,
+                 threads: Optional[int] = None,
                  train: bool = True, seed: int = 0, queue_depth: int = 4,
-                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                 output: str = "float32"):
+        # output="uint8" emits raw resized RGB (4x smaller host->device
+        # transfers); normalize on device with (self.mean, self.std) — the
+        # train step does this automatically for uint8 batches.
+        if output not in ("float32", "uint8"):
+            raise ValueError(f"output must be float32|uint8, got {output!r}")
+        self.output = output
+        if threads is None:
+            # os.cpu_count() underreports inside gVisor sandboxes (returns 1
+            # while 32-64 decode threads scale ~10x — measured); oversubscribe
+            # by default, decode threads are syscall/IO heavy anyway.
+            threads = max(32, os.cpu_count() or 1)
         self.lib = _load_lib()
         self.batch_size = batch_size
         self.image_size = image_size
         self._paths = [p.encode() for p in paths]
         self._labels = np.asarray(labels, np.int32)
-        self._args = (threads, train, seed, queue_depth,
-                      np.asarray(mean, np.float32), np.asarray(std, np.float32))
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self._args = (threads, train, seed, queue_depth, self.mean, self.std)
         self._handle: Optional[int] = None
 
     @classmethod
@@ -104,14 +118,16 @@ class NativeClassificationLoader:
             len(self._paths), self.batch_size, self.image_size, threads,
             int(train), seed, qd,
             mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(self.output == "uint8"))
+        dtype = np.uint8 if self.output == "uint8" else np.float32
         try:
             s = self.image_size
             while True:
-                images = np.empty((self.batch_size, s, s, 3), np.float32)
+                images = np.empty((self.batch_size, s, s, 3), dtype)
                 labels = np.empty((self.batch_size,), np.int32)
                 ok = self.lib.fndl_next(
-                    handle, images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    handle, images.ctypes.data_as(ctypes.c_void_p),
                     labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
                 if not ok:
                     return

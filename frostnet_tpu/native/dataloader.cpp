@@ -12,10 +12,14 @@
 //   void* fndl_create(const char** paths, const int* labels, long n,
 //                     int batch, int out_hw, int threads, int train,
 //                     unsigned seed, int queue_depth,
-//                     const float* mean, const float* std);
-//   int   fndl_next(void* h, float* images, int* labels);  // 1 ok, 0 end
+//                     const float* mean, const float* std, int out_uint8);
+//   int   fndl_next(void* h, void* images, int* labels);  // 1 ok, 0 end
 //   void  fndl_destroy(void* h);
 //   long  fndl_batches_per_epoch(void* h);
+//
+// out_uint8=1 emits raw resized uint8 RGB (4x smaller host->device
+// transfers; mean/std normalization then runs on-device, fused into the
+// jitted step) — the TPU-native layout. out_uint8=0 keeps normalized f32.
 
 #include <cstddef>
 #include <cstdio>
@@ -79,12 +83,12 @@ bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
   return true;
 }
 
-// Bilinear sample from an RGB8 crop region into out_hw x out_hw float RGB,
-// normalized with (mean, std).
+// Bilinear sample from an RGB8 crop region into out_hw x out_hw RGB:
+// normalized float32 (u8_out=nullptr) or raw uint8 (u8_out set).
 void resample_normalize(const unsigned char* src, int sw, int sh,
                         float x0, float y0, float cw, float ch, bool hflip,
                         int out_hw, const float* mean, const float* stdv,
-                        float* dst) {
+                        float* dst, unsigned char* u8_out) {
   for (int oy = 0; oy < out_hw; ++oy) {
     float sy = y0 + (oy + 0.5f) * ch / out_hw - 0.5f;
     if (sy < 0) sy = 0;
@@ -104,18 +108,24 @@ void resample_normalize(const unsigned char* src, int sw, int sh,
       const unsigned char* p01 = src + (static_cast<size_t>(iy) * sw + ix1) * 3;
       const unsigned char* p10 = src + (static_cast<size_t>(iy1) * sw + ix) * 3;
       const unsigned char* p11 = src + (static_cast<size_t>(iy1) * sw + ix1) * 3;
-      float* out = dst + (static_cast<size_t>(oy) * out_hw + ox) * 3;
+      size_t off = (static_cast<size_t>(oy) * out_hw + ox) * 3;
       for (int c = 0; c < 3; ++c) {
         float v = (1 - fy) * ((1 - fx) * p00[c] + fx * p01[c]) +
                   fy * ((1 - fx) * p10[c] + fx * p11[c]);
-        out[c] = (v / 255.0f - mean[c]) / stdv[c];
+        if (u8_out) {
+          float r = v + 0.5f;
+          u8_out[off + c] = static_cast<unsigned char>(
+              r < 0 ? 0 : (r > 255 ? 255 : r));
+        } else {
+          dst[off + c] = (v / 255.0f - mean[c]) / stdv[c];
+        }
       }
     }
   }
 }
 
 struct Batch {
-  std::vector<float> images;
+  std::vector<unsigned char> images;  // raw bytes: f32 or u8 elements
   std::vector<int> labels;
 };
 
@@ -124,6 +134,7 @@ struct Loader {
   std::vector<int> labels;
   int batch, out_hw, threads, queue_depth;
   bool train;
+  bool out_uint8 = false;
   unsigned seed;
   float mean[3], stdv[3];
 
@@ -144,16 +155,20 @@ struct Loader {
       long b = next_batch.fetch_add(1);
       if (b >= total_batches) break;
       Batch out;
-      out.images.resize(static_cast<size_t>(batch) * out_hw * out_hw * 3);
+      const size_t px = static_cast<size_t>(out_hw) * out_hw * 3;
+      const size_t elt = out_uint8 ? 1 : sizeof(float);
+      out.images.resize(static_cast<size_t>(batch) * px * elt);
       out.labels.resize(batch);
       for (int i = 0; i < batch; ++i) {
         long idx = order[(b * batch + i) % static_cast<long>(paths.size())];
         out.labels[i] = labels[idx];
         std::vector<unsigned char> rgb;
         int w = 0, h = 0;
-        float* dst = out.images.data() + static_cast<size_t>(i) * out_hw * out_hw * 3;
+        unsigned char* raw = out.images.data() + static_cast<size_t>(i) * px * elt;
+        float* dst_f = out_uint8 ? nullptr : reinterpret_cast<float*>(raw);
+        unsigned char* dst_u8 = out_uint8 ? raw : nullptr;
         if (!decode_jpeg(paths[idx], rgb, &w, &h) || w < 2 || h < 2) {
-          std::memset(dst, 0, sizeof(float) * out_hw * out_hw * 3);
+          std::memset(raw, 0, px * elt);
           continue;
         }
         if (train) {
@@ -163,12 +178,12 @@ struct Loader {
           float y0 = u01(rng) * (h - ch);
           bool flip = u01(rng) < 0.5f;
           resample_normalize(rgb.data(), w, h, x0, y0, cw, ch, flip,
-                             out_hw, mean, stdv, dst);
+                             out_hw, mean, stdv, dst_f, dst_u8);
         } else {
           float side = static_cast<float>(w < h ? w : h) / 1.14f;  // resize+center crop
           float x0 = (w - side) / 2, y0 = (h - side) / 2;
           resample_normalize(rgb.data(), w, h, x0, y0, side, side, false,
-                             out_hw, mean, stdv, dst);
+                             out_hw, mean, stdv, dst_f, dst_u8);
         }
       }
       std::unique_lock<std::mutex> lk(mu);
@@ -188,8 +203,10 @@ extern "C" {
 
 void* fndl_create(const char** paths, const int* labels, long n, int batch,
                   int out_hw, int threads, int train, unsigned seed,
-                  int queue_depth, const float* mean, const float* stdv) {
+                  int queue_depth, const float* mean, const float* stdv,
+                  int out_uint8) {
   auto* l = new Loader();
+  l->out_uint8 = out_uint8 != 0;
   l->paths.reserve(n);
   l->labels.assign(labels, labels + n);
   for (long i = 0; i < n; ++i) l->paths.emplace_back(paths[i]);
@@ -217,7 +234,7 @@ long fndl_batches_per_epoch(void* h) {
   return static_cast<Loader*>(h)->total_batches;
 }
 
-int fndl_next(void* h, float* images, int* labels_out) {
+int fndl_next(void* h, void* images, int* labels_out) {
   auto* l = static_cast<Loader*>(h);
   std::unique_lock<std::mutex> lk(l->mu);
   // End-of-epoch = all batches DELIVERED, not all batches CLAIMED: workers
@@ -234,7 +251,7 @@ int fndl_next(void* h, float* images, int* labels_out) {
   ++l->delivered;
   l->cv_put.notify_one();
   lk.unlock();
-  std::memcpy(images, b.images.data(), b.images.size() * sizeof(float));
+  std::memcpy(images, b.images.data(), b.images.size());
   std::memcpy(labels_out, b.labels.data(), b.labels.size() * sizeof(int));
   return 1;
 }

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import SyntheticClassification, FolderClassification, prefetch_to_device
+from ..data import (SyntheticClassification, build_classification_dataset,
+                    prefetch_to_device)
 from ..models import create_model
 from ..nn import FP32, QAT, QAT_FROZEN, INT8
 from ..optim import get_optimizer, grouped_weight_decay, get_lr_scheduler
@@ -45,6 +46,9 @@ class ClassificationConfig:
     model: str = "frostnet_quant_small_1_0"
     dataset: str = "synthetic"
     data_dir: str = "./data"
+    loader: str = "python"       # "python" (PIL threads) | "native" (C++ pool,
+                                 # the torch DataLoader-worker equivalent —
+                                 # reference Classification/train.py:108-114)
     num_classes: int = 1000
     image_size: int = 224
     batch_size: int = 64
@@ -85,8 +89,24 @@ def _build_dataset(cfg: ClassificationConfig, train: bool):
             num_classes=cfg.num_classes, image_size=cfg.image_size,
             length=cfg.batch_size * (cfg.steps_per_epoch or 8),
             batch_size=cfg.batch_size, seed=cfg.seed + (0 if train else 1))
-    root = os.path.join(cfg.data_dir, cfg.dataset, "train" if train else "val")
-    return FolderClassification(root, cfg.image_size, cfg.batch_size, train=train)
+    if cfg.loader == "native":
+        # the C++ pool serves ImageFolder-layout JPEG datasets
+        root = os.path.join(cfg.data_dir, cfg.dataset, "train" if train else "val")
+        try:
+            from ..native import NativeClassificationLoader
+            # uint8 output: 4x less host->device traffic; the jitted step
+            # normalizes on device (train/state._prep_image)
+            return NativeClassificationLoader.from_folder(
+                root, batch_size=cfg.batch_size, image_size=cfg.image_size,
+                train=train, seed=cfg.seed + (0 if train else 1),
+                output="uint8")
+        except RuntimeError as e:  # toolchain/libjpeg missing — degrade
+            import warnings
+            warnings.warn(f"--loader native unavailable ({e}); "
+                          "falling back to the Python loader")
+    return build_classification_dataset(
+        cfg.dataset, cfg.data_dir, train, image_size=cfg.image_size,
+        batch_size=cfg.batch_size, seed=cfg.seed + (0 if train else 1))
 
 
 def _optimizer(cfg: ClassificationConfig, schedule):

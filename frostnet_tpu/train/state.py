@@ -29,6 +29,22 @@ from ..optim import set_warmup
 from ..utils.losses import cross_entropy
 from ..utils.metrics import topk_accuracy
 
+# device-side normalization constants for uint8 input batches (see
+# _prep_image); match data.IMAGENET_MEAN/STD and the native loader defaults
+_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def _prep_image(image, mean=None, std=None):
+    """uint8 batches are normalized ON DEVICE (fused into the step by XLA):
+    the host pipeline ships raw RGB bytes — 4x less host->device traffic than
+    pre-normalized f32 (the native loader's output='uint8' mode)."""
+    if image.dtype != jnp.uint8:
+        return image
+    mean = _IMAGENET_MEAN if mean is None else jnp.asarray(mean, jnp.float32)
+    std = _IMAGENET_STD if std is None else jnp.asarray(std, jnp.float32)
+    return (image.astype(jnp.float32) / 255.0 - mean) / std
+
 
 @flax.struct.dataclass
 class QATTrainState:
@@ -93,6 +109,8 @@ def make_train_step(
     label_smoothing: float = 0.0,
     ema_decay: float = 0.0,
     donate: bool = True,
+    input_mean=None,
+    input_std=None,
 ):
     """Jitted classification train step for one phase.
 
@@ -108,12 +126,13 @@ def make_train_step(
 
     def step(state: QATTrainState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
+        image = _prep_image(batch["image"], input_mean, input_std)
 
         def compute_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats,
                          "quant": state.quant}
             outputs, updates = model.apply(
-                variables, batch["image"], mode=mode, train=True,
+                variables, image, mode=mode, train=True,
                 mutable=mutable, rngs={"dropout": dropout_rng})
             loss = loss_fn(outputs, batch)
             return loss, (outputs, updates)
@@ -155,7 +174,7 @@ def make_eval_step(model, mode: QuantMode, num_classes: Optional[int] = None,
         variables = state.model_variables
         if use_ema and state.ema is not None:
             variables = {**variables, "params": state.ema}
-        outputs = model.apply(variables, batch["image"], mode=mode)
+        outputs = model.apply(variables, _prep_image(batch["image"]), mode=mode)
         loss = cross_entropy(outputs, batch["label"])
         metrics = {"loss": loss}
         if outputs.ndim == 2:
@@ -181,8 +200,8 @@ def recalibrate(model, state: QATTrainState, batches, mode: QuantMode = QAT,
 
     @jax.jit
     def calib(variables, image):
-        _, upd = model.apply(variables, image, mode=mode, train=True,
-                             mutable=["batch_stats", "quant"],
+        _, upd = model.apply(variables, _prep_image(image), mode=mode,
+                             train=True, mutable=["batch_stats", "quant"],
                              rngs={"dropout": rng})
         return upd
 

@@ -69,3 +69,53 @@ def test_native_eval_decode_matches_pil_center_crop(jpeg_dir):
                  fy * ((1 - fx) * img[iy1, ix] + fx * img[iy1, ix1]))
             want[oy, ox] = (v / 255.0 - mean) / std
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_native_uint8_output_matches_float_path(jpeg_dir):
+    """output='uint8' ships raw resized bytes; normalizing them on the host
+    must reproduce the loader's own float32 output to quantization error
+    (0.5/255/std ~ 0.009) — the device-side _prep_image contract."""
+    from frostnet_tpu.native import NativeClassificationLoader
+
+    # threads=1: multi-worker delivery order is nondeterministic (whichever
+    # worker finishes first publishes first), so pin it for the comparison
+    kw = dict(batch_size=4, image_size=32, threads=1, train=False, seed=0)
+    f32 = list(NativeClassificationLoader.from_folder(jpeg_dir, **kw))
+    u8 = list(NativeClassificationLoader.from_folder(jpeg_dir, output="uint8", **kw))
+    assert len(f32) == len(u8) > 0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    for bf, bu in zip(f32, u8):
+        assert bu["image"].dtype == np.uint8
+        np.testing.assert_array_equal(bf["label"], bu["label"])
+        renorm = (bu["image"].astype(np.float32) / 255.0 - mean) / std
+        np.testing.assert_allclose(renorm, bf["image"], atol=0.011)
+
+
+def test_train_step_normalizes_uint8_on_device(jpeg_dir):
+    """A uint8 batch through make_train_step equals the same batch
+    pre-normalized on the host."""
+    import jax
+    import jax.numpy as jnp
+
+    from frostnet_tpu.models.frostnet import FrostNet
+    from frostnet_tpu.nn import FP32
+    from frostnet_tpu.optim import get_optimizer
+    from frostnet_tpu.train import create_train_state, make_train_step
+
+    model = FrostNet(mode="tiny", width_mult=1.0, quantized=True, num_classes=4)
+    tx = get_optimizer("SGD", 0.0)  # lr 0 -> loss comparison only
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((2, 32, 32, 3)))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, 32, 32, 3), np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    f32 = ((u8.astype(np.float32) / 255.0 - mean) / std).astype(np.float32)
+    label = np.zeros((2,), np.int32)
+
+    step = make_train_step(model, FP32, num_classes=4, donate=False)
+    _, m_u8 = step(state, {"image": jnp.asarray(u8), "label": jnp.asarray(label)})
+    _, m_f32 = step(state, {"image": jnp.asarray(f32), "label": jnp.asarray(label)})
+    np.testing.assert_allclose(float(m_u8["loss"]), float(m_f32["loss"]),
+                               rtol=1e-5)
