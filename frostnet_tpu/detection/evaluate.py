@@ -61,7 +61,6 @@ def evaluate_map(feat, head, feat_vars, head_vars, dataset, priors, mode,
     dets: List[List] = [[] for _ in range(num_classes)]
     npos = np.zeros(num_classes, np.int64)
 
-    img_idx = 0
     for bi, batch in enumerate(dataset):
         if max_batches is not None and bi >= max_batches:
             break
@@ -69,23 +68,45 @@ def evaluate_map(feat, head, feat_vars, head_vars, dataset, priors, mode,
         for b in range(out.shape[0]):
             gt_boxes = batch["boxes"][b][batch["valid"][b]]
             gt_labels = batch["labels"][b][batch["valid"][b]]
-            for c in range(1, num_classes):
-                cls_gt = gt_boxes[gt_labels == c - 1]
-                npos[c] += len(cls_gt)
-                matched = np.zeros(len(cls_gt), bool)
-                rows = out[b, c]
-                rows = rows[rows[:, 0] > 0]
-                for score, x1, y1, x2, y2 in rows:
-                    tp = False
-                    if len(cls_gt):
-                        ious = _iou(np.array([x1, y1, x2, y2]), cls_gt)
-                        j = int(np.argmax(ious))
-                        if ious[j] >= iou_thresh and not matched[j]:
-                            matched[j] = True
-                            tp = True
-                    dets[c].append((float(score), tp))
-            img_idx += 1
+            match_detections(dets, npos, out[b], gt_boxes, gt_labels,
+                             num_classes, iou_thresh)
 
+    aps = aps_from_records(dets, npos, num_classes)
+    present = npos > 0
+    mean_ap = float(np.sum(aps[present]) / max(np.sum(present), 1))
+    return {"mAP": mean_ap, "ap_per_class": aps}
+
+
+def match_detections(dets: List[List], npos: np.ndarray, out_img: np.ndarray,
+                     gt_boxes: np.ndarray, gt_labels: np.ndarray,
+                     num_classes: int, iou_thresh: float = 0.5) -> None:
+    """Greedy TP/FP assignment for one image (voc_eval's marking loop,
+    qeval_convert.py:296-331). ``out_img`` is the (C, K, 5) detect() output
+    with rows [score, x1, y1, x2, y2], score-sorted per class (the reference
+    sorts globally by confidence, but GT 'det' flags are per image, so
+    per-image score order is equivalent). Strict ``> iou_thresh`` like the
+    reference's ``ovmax > ovthresh``."""
+    for c in range(1, num_classes):
+        cls_gt = gt_boxes[gt_labels == c - 1]
+        npos[c] += len(cls_gt)
+        matched = np.zeros(len(cls_gt), bool)
+        rows = out_img[c]
+        rows = rows[rows[:, 0] > 0]
+        for score, x1, y1, x2, y2 in rows:
+            tp = False
+            if len(cls_gt):
+                ious = _iou(np.array([x1, y1, x2, y2]), cls_gt)
+                j = int(np.argmax(ious))
+                if ious[j] > iou_thresh and not matched[j]:
+                    matched[j] = True
+                    tp = True
+            dets[c].append((float(score), tp))
+
+
+def aps_from_records(dets: List[List], npos: np.ndarray,
+                     num_classes: int) -> np.ndarray:
+    """Per-class 11-point AP from (score, is_tp) records
+    (qeval_convert.py:333-345)."""
     aps = np.zeros(num_classes, np.float32)
     for c in range(1, num_classes):
         if npos[c] == 0:
@@ -94,8 +115,6 @@ def evaluate_map(feat, head, feat_vars, head_vars, dataset, priors, mode,
         tp = np.cumsum([r[1] for r in rows]).astype(np.float64)
         fp = np.cumsum([not r[1] for r in rows]).astype(np.float64)
         rec = tp / npos[c]
-        prec = tp / np.maximum(tp + fp, 1e-12)
+        prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
         aps[c] = voc_ap(rec, prec)
-    present = npos > 0
-    mean_ap = float(np.sum(aps[present]) / max(np.sum(present), 1))
-    return {"mAP": mean_ap, "ap_per_class": aps}
+    return aps
