@@ -27,8 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train_step():
-    port = _free_port()
+def _spawn_workers(port):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
@@ -38,11 +37,24 @@ def test_two_process_distributed_train_step():
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for pid in range(2)
     ]
-    outs = []
+    outs, errs, rcs = [], [], []
     for p in procs:
-        out, err = p.communicate(timeout=570)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        out, err = p.communicate(timeout=900)
         outs.append(out)
+        errs.append(err)
+        rcs.append(p.returncode)
+    return outs, errs, rcs
+
+
+def test_two_process_distributed_train_step():
+    # Gloo's key-value/connect handshakes run on fixed ~30s deadlines; under
+    # heavy CPU contention (e.g. the full suite) a worker can miss one and
+    # die, so allow a single retry on a fresh port before judging.
+    for attempt in range(2):
+        outs, errs, rcs = _spawn_workers(_free_port())
+        if rcs == [0, 0]:
+            break
+    assert rcs == [0, 0], f"workers failed twice:\n{outs}\n{errs}"
     losses = [
         [line for line in o.splitlines() if line.startswith("LOSS")][0]
         for o in outs
