@@ -15,7 +15,7 @@ import numpy as np
 
 from ..nn import QAT, QAT_FROZEN, INT8
 from ..optim import qadam
-from ..utils.checkpoint import restore_checkpoint
+from ..utils.checkpoint import restore_model_variables
 from ..utils.logging import MetricLogger
 from .data import AlignedDataset, SyntheticPairs
 from .models import make_net_state
@@ -30,7 +30,7 @@ def main(args):
     g_state = make_net_state(netG, qadam(2e-4), jax.random.PRNGKey(0), sample,
                              init_kwargs={"mode": QAT, "train": True})
     if args.checkpoint:
-        g_state = restore_checkpoint(args.checkpoint, g_state)
+        g_state = restore_model_variables(args.checkpoint, g_state)
 
     if args.dataset == "synthetic":
         ds = SyntheticPairs(args.crop_size, args.num_test, 1, seed=1)

@@ -21,7 +21,7 @@ from ..nn import QAT, QAT_FROZEN, INT8
 from ..optim import get_optimizer
 from ..parallel import make_mesh
 from ..train.state import create_train_state
-from ..utils.checkpoint import restore_checkpoint
+from ..utils.checkpoint import restore_model_variables
 from ..utils.logging import MetricLogger
 from .data import CityscapesSegmentation, SyntheticSegmentation
 from .models import get_seg_model
@@ -71,7 +71,7 @@ def main(args):
     state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
                                init_kwargs={"mode": QAT, "train": True})
     if args.checkpoint:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_model_variables(args.checkpoint, state)
     else:
         # 1-iter calibration (train_seg_one_iter, train_eval_seg.py:57-104)
         step = make_seg_train_step(model, QAT, None, cfg.ignore_index, cfg.num_classes)

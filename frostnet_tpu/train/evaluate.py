@@ -22,7 +22,7 @@ from ..models import create_model
 from ..nn import QAT, QAT_FROZEN, INT8
 from ..optim import get_optimizer
 from ..parallel import make_mesh
-from ..utils.checkpoint import restore_checkpoint
+from ..utils.checkpoint import restore_model_variables
 from ..utils.logging import MetricLogger
 from .classification import evaluate
 from .state import create_train_state, make_train_step, recalibrate
@@ -57,7 +57,7 @@ def main(args):
     state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
                                init_kwargs={"mode": QAT, "train": True})
     if args.checkpoint:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_model_variables(args.checkpoint, state)
     else:
         # calibration: one train iteration (evaluate.py:108-110)
         step = make_train_step(model, QAT, num_classes=args.num_classes, donate=False)
