@@ -30,9 +30,11 @@ from ..utils.losses import cross_entropy
 from ..utils.metrics import topk_accuracy
 
 # device-side normalization constants for uint8 input batches (see
-# _prep_image); match data.IMAGENET_MEAN/STD and the native loader defaults
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+# _prep_image); match data.IMAGENET_MEAN/STD and the native loader defaults.
+# Plain tuples, NOT jnp arrays: a module-level jnp constant would initialize
+# the XLA backend at import time and break jax.distributed.initialize().
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def _prep_image(image, mean=None, std=None):
@@ -41,8 +43,8 @@ def _prep_image(image, mean=None, std=None):
     pre-normalized f32 (the native loader's output='uint8' mode)."""
     if image.dtype != jnp.uint8:
         return image
-    mean = _IMAGENET_MEAN if mean is None else jnp.asarray(mean, jnp.float32)
-    std = _IMAGENET_STD if std is None else jnp.asarray(std, jnp.float32)
+    mean = jnp.asarray(mean if mean is not None else _IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(std if std is not None else _IMAGENET_STD, jnp.float32)
     return (image.astype(jnp.float32) / 255.0 - mean) / std
 
 

@@ -21,6 +21,9 @@ os.environ.setdefault("GLOO_SOCKET_IFNAME", "lo")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: the persistent compile cache must stay OFF here — executables loaded
+# from the cache fail Gloo context init reproducibly in this jax build
+# (GetKeyValue/Connect timeouts on every run; fresh compiles never do).
 jax.config.update("jax_enable_compilation_cache", False)
 
 import jax.numpy as jnp
@@ -75,8 +78,20 @@ with mesh:
     # the processes between compile and the first collective execution.
     compiled = step.lower(state, batch).compile()
     multihost_utils.sync_global_devices("compiled")
-    state, metrics = compiled(state, batch)
-    jax.block_until_ready(metrics)
+    # Gloo's first collective sets up TCP pairs under a fixed ~30s deadline;
+    # a scheduler stall on either side can miss it. Sync and retry once —
+    # a successful clique is cached for subsequent steps.
+    for attempt in range(2):
+        try:
+            state, metrics = compiled(state, batch)
+            jax.block_until_ready(metrics)
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 1:
+                raise
+            print(f"first collective failed ({type(e).__name__}); retrying",
+                  file=sys.stderr, flush=True)
+            multihost_utils.sync_global_devices("retry")
 
 # psum-produced metrics are fully replicated -> scalar conversion is legal
 print(f"LOSS {float(metrics['loss']):.6f}", flush=True)
