@@ -258,10 +258,15 @@ class QConvBNAct(fnn.Module):
 
         y = apply_activation(y, self.act)
         if q_on:
-            # NOTE(perf, measured r1 on v5e): casting y to bf16 before the
-            # observer/fake-quant LOWERED throughput 10% (21.3k -> 19.2k
-            # img/s) — the cast breaks XLA's fusion of the fq epilogue into
-            # the producing conv. Keep activations in f32 here; the conv
-            # itself already computes in self.dtype.
             y = apply_observer(self, act_obs, y, aspec, mode)
+        if self.dtype != jnp.float32 and not isinstance(y, QTensor):
+            # Materialize the block output in the compute dtype (bf16): the
+            # QAT train step is HBM-bandwidth-bound (measured ~82% of the
+            # roofline at bs512 with honest readback timing), and the
+            # activation tensors written between blocks dominate the bytes.
+            # The f32 BN/fake-quant arithmetic above stays f32 and fuses into
+            # the producing kernel — only the stored tensor shrinks.
+            # (An r1 note claimed this cast cost 10%; that was measured with
+            # block_until_ready, which this host's transport does not honor.)
+            y = y.astype(self.dtype)
         return y

@@ -120,7 +120,10 @@ class _QBinary(fnn.Module):
         if mode.int8:
             scale, zp = stored_qparams(self, "act", spec)
             return _requant(out_f32, scale, zp, spec)
-        return observed_fake_quant(self, "act", out_f32, spec, mode)
+        out = observed_fake_quant(self, "act", out_f32, spec, mode)
+        # fake-quant's f32 scale promotes the result; materialize in the
+        # incoming compute dtype (bf16 runs are bandwidth-bound)
+        return out.astype(out_f32.dtype)
 
     @staticmethod
     def _as_f32(x):
