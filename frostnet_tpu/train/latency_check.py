@@ -26,13 +26,23 @@ from ..optim import get_optimizer
 
 
 def time_mode(model, variables, x, mode, iters=100, warmup=3):
-    fn = jax.jit(lambda v, i: model.apply(v, i, mode=mode))
+    # honest timing: chain iterations through a scalar that feeds the next
+    # input and read back once — on this host's transport block_until_ready
+    # returns before execution finishes (see CLAUDE.md), and a per-iteration
+    # readback would add the ~30 ms tunnel round trip to every batch
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda v, i, a: model.apply(v, i + a * 0, mode=mode)
+                 .astype(jnp.float32).sum() * 1e-30)
+    acc = jnp.float32(0)
     for _ in range(warmup):
-        fn(variables, x).block_until_ready()
+        acc = fn(variables, x, acc)
+    float(acc)
     t0 = time.perf_counter()
+    acc = jnp.float32(0)
     for _ in range(iters):
-        out = fn(variables, x)
-    out.block_until_ready()
+        acc = fn(variables, x, acc)
+    float(acc)
     return (time.perf_counter() - t0) / iters * 1000.0  # ms/batch
 
 

@@ -84,16 +84,18 @@ def main():
     def run(batches, n):
         nonlocal state
         it = iter(batches)
-        state, _ = step(state, next(it))  # per-leg warm-up: compile for this
-        jax.block_until_ready(state.params)  # input signature (uint8 != f32)
+        state, m = step(state, next(it))  # per-leg warm-up: compile for this
+        float(m["loss"])                  # input signature (uint8 != f32)
         t0 = time.perf_counter()
         done = 0
         for batch in it:
-            state, _ = step(state, batch)
+            state, m = step(state, batch)
             done += 1
             if done >= n:
                 break
-        jax.block_until_ready(state.params)
+        # honest timing: host readback of a value depending on the last step
+        # (block_until_ready returns early on this host's transport)
+        float(m["loss"])
         return args.batch * done / (time.perf_counter() - t0), done
 
     import itertools
