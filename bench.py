@@ -32,7 +32,7 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 420))
 A100_EAGER_QAT_IMG_S = 950.0
 TARGET = 2.0 * A100_EAGER_QAT_IMG_S
 
-BATCH = int(os.environ.get("BENCH_BATCH", 512))
+BATCH = int(os.environ.get("BENCH_BATCH", 256))  # honest sweep: 256 > 512 (3.0k vs 2.8k img/s)
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 REPS = int(os.environ.get("BENCH_REPS", 3))  # report best-of-N: host/tunnel
 IMAGE = 224                                  # contention skews single reps
