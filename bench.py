@@ -57,6 +57,7 @@ def emit(value: float, vs_baseline: float, **extra) -> None:
         "value": value,
         "unit": "images/sec/chip",
         "vs_baseline": vs_baseline,
+        "timing": f"best_of_{REPS}_reps, chained steps + host readback",
     }
     rec.update(extra)
     print(json.dumps(rec), flush=True)

@@ -134,14 +134,37 @@ def download_data(name: str, data_dir: str):
     return path
 
 
+def random_resized_crop(img: np.ndarray, size: int, rng) -> np.ndarray:
+    """torchvision RandomResizedCrop(size): scale (0.08,1), ratio (3/4,4/3)."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target = area * rng.uniform(0.08, 1.0)
+        ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+        cw = int(round(np.sqrt(target * ratio)))
+        ch = int(round(np.sqrt(target / ratio)))
+        if 0 < cw <= w and 0 < ch <= h:
+            y0 = rng.randint(0, h - ch + 1)
+            x0 = rng.randint(0, w - cw + 1)
+            crop = img[y0:y0 + ch, x0:x0 + cw]
+            return np.asarray(Image.fromarray(crop).resize(
+                (size, size), Image.BILINEAR))
+    return img  # fallback: central no-op when no valid crop was drawn
+
+
 class CIFARClassification:
     """CIFAR-10/100 from the standard python pickle batches
     (cifar-10-batches-py/ or cifar-100-python/), matching the torchvision
-    transforms the reference uses (data_functions.py cifar branches):
-    train = pad-4 random crop 32 + hflip + normalize."""
+    transforms the reference uses per dataset (data_functions.py:92-131):
+    train = RandomResizedCrop(32) + hflip + normalize with the dataset's own
+    mean/std (cifar10 std .247/.243/.261, cifar100 .2673/.2564/.2762)."""
 
-    MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
-    STD = np.array([0.2023, 0.1994, 0.2010], np.float32)
+    MEAN10 = np.array([0.4914, 0.4822, 0.4465], np.float32)
+    STD10 = np.array([0.247, 0.243, 0.261], np.float32)
+    MEAN100 = np.array([0.5071, 0.4865, 0.4409], np.float32)
+    STD100 = np.array([0.2673, 0.2564, 0.2762], np.float32)
 
     def __init__(self, root, train=True, batch_size=128, seed=0, cifar100=False):
         import pickle
@@ -170,6 +193,8 @@ class CIFARClassification:
         self.batch_size = batch_size
         self.seed = seed
         self.num_classes = 100 if cifar100 else 10
+        self.mean = self.MEAN100 if cifar100 else self.MEAN10
+        self.std = self.STD100 if cifar100 else self.STD10
 
     def __len__(self):
         return len(self.images) // self.batch_size
@@ -179,18 +204,16 @@ class CIFARClassification:
         order = rng.permutation(len(self.images)) if self.train else np.arange(len(self.images))
         for b in range(len(self)):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-            imgs = self.images[idx].astype(np.float32) / 255.0
+            imgs = self.images[idx]
             if self.train:
-                out = np.empty_like(imgs)
-                padded = np.pad(imgs, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="constant")
-                for i in range(len(imgs)):
-                    y0, x0 = rng.randint(0, 9), rng.randint(0, 9)
-                    im = padded[i, y0:y0 + 32, x0:x0 + 32]
+                out = np.empty((len(idx), 32, 32, 3), np.uint8)
+                for i, im in enumerate(imgs):
+                    im = random_resized_crop(im, 32, rng)
                     if rng.rand() < 0.5:
                         im = im[:, ::-1]
                     out[i] = im
                 imgs = out
-            imgs = (imgs - self.MEAN) / self.STD
+            imgs = (imgs.astype(np.float32) / 255.0 - self.mean) / self.std
             yield {"image": imgs.astype(np.float32), "label": self.labels[idx]}
 
 
@@ -269,25 +292,6 @@ class SVHNClassification:
     def __len__(self):
         return len(self.images) // self.batch_size
 
-    def _random_resized_crop(self, img: np.ndarray, rng) -> np.ndarray:
-        """torchvision RandomResizedCrop(32): scale (0.08,1), ratio (3/4,4/3)."""
-        from PIL import Image
-
-        h, w = img.shape[:2]
-        area = h * w
-        for _ in range(10):
-            target = area * rng.uniform(0.08, 1.0)
-            ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
-            cw = int(round(np.sqrt(target * ratio)))
-            ch = int(round(np.sqrt(target / ratio)))
-            if 0 < cw <= w and 0 < ch <= h:
-                y0 = rng.randint(0, h - ch + 1)
-                x0 = rng.randint(0, w - cw + 1)
-                crop = img[y0:y0 + ch, x0:x0 + cw]
-                return np.asarray(Image.fromarray(crop).resize(
-                    (32, 32), Image.BILINEAR))
-        return img  # fallback: already 32x32
-
     def __iter__(self):
         rng = np.random.RandomState(self.seed)
         order = rng.permutation(len(self.images)) if self.train else np.arange(len(self.images))
@@ -297,7 +301,7 @@ class SVHNClassification:
             if self.train:
                 out = np.empty((len(idx), 32, 32, 3), np.uint8)
                 for i, im in enumerate(imgs):
-                    im = self._random_resized_crop(im, rng)
+                    im = random_resized_crop(im, 32, rng)
                     if rng.rand() < 0.5:
                         im = im[:, ::-1]
                     out[i] = im

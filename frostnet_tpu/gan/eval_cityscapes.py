@@ -33,9 +33,15 @@ def fast_hist(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
     """Confusion histogram (reference util.py:23-29): rows = GT, cols = pred;
     GT entries outside [0, n) are ignored."""
     k = np.where((a >= 0) & (a < n))[0]
+    if np.any(b[k] >= n) or np.any(b[k] < 0):
+        # A scorer emitting labels outside [0, n) means --num_classes does
+        # not match the scorer checkpoint; silently dropping frames would
+        # print near-zero FCN scores with no hint why.
+        raise ValueError(
+            f"prediction labels outside [0, {n}): scorer emits up to "
+            f"{int(b[k].max())} — pass --num_classes matching the scorer "
+            "checkpoint")
     bc = np.bincount(n * a[k].astype(int) + b[k], minlength=n ** 2)
-    if len(bc) != n ** 2:
-        return np.zeros((n, n), np.int64)  # pred out of range: skip frame
     return bc.reshape(n, n)
 
 

@@ -82,7 +82,14 @@ class NativeClassificationLoader:
             # os.cpu_count() underreports inside gVisor sandboxes (returns 1
             # while 32-64 decode threads scale ~10x — measured); oversubscribe
             # by default, decode threads are syscall/IO heavy anyway.
+            # Memory model: each worker holds one fully built batch while
+            # waiting to enqueue, so peak host memory is
+            # (threads + queue_depth) * batch_bytes. In float32 mode a 224px
+            # bs256 batch is ~154 MB, so cap threads there to bound the pool
+            # at ~1.8 GB; uint8 batches are 4x smaller and keep the wide pool.
             threads = max(32, os.cpu_count() or 1)
+            if output == "float32":
+                threads = min(threads, 8)
         self.lib = _load_lib()
         self.batch_size = batch_size
         self.image_size = image_size

@@ -43,6 +43,60 @@ def test_svhn_train_augmentation_is_seeded(svhn_dir):
     assert a["image"].shape == (8, 32, 32, 3)
 
 
+@pytest.fixture()
+def cifar_dir(tmp_path):
+    import pickle
+
+    rng = np.random.RandomState(0)
+    ten = tmp_path / "cifar-10-batches-py"
+    hundred = tmp_path / "cifar-100-python"
+    ten.mkdir(), hundred.mkdir()
+    for i in range(1, 6):
+        with open(ten / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": rng.randint(0, 255, (8, 3072), np.uint8),
+                         b"labels": list(rng.randint(0, 10, 8))}, f)
+    with open(ten / "test_batch", "wb") as f:
+        pickle.dump({b"data": rng.randint(0, 255, (8, 3072), np.uint8),
+                     b"labels": list(rng.randint(0, 10, 8))}, f)
+    for split in ("train", "test"):
+        with open(hundred / split, "wb") as f:
+            pickle.dump({b"data": rng.randint(0, 255, (8, 3072), np.uint8),
+                         b"fine_labels": list(rng.randint(0, 100, 8))}, f)
+    return tmp_path
+
+
+def test_cifar_per_dataset_stats(cifar_dir):
+    """cifar100 must normalize with its own mean/std (reference
+    data_functions.py:101-113), not CIFAR-10's — and cifar10's std is
+    (.247,.243,.261) there, not the common (.2023,...) triplet."""
+    from frostnet_tpu.data.datasets import CIFARClassification
+
+    c10 = CIFARClassification(str(cifar_dir), train=False, batch_size=8)
+    c100 = CIFARClassification(str(cifar_dir), train=False, batch_size=8,
+                               cifar100=True)
+    np.testing.assert_allclose(c100.mean, [0.5071, 0.4865, 0.4409])
+    np.testing.assert_allclose(c100.std, [0.2673, 0.2564, 0.2762])
+    np.testing.assert_allclose(c10.std, [0.247, 0.243, 0.261])
+    assert c100.num_classes == 100
+    for ds in (c10, c100):
+        batch = next(iter(ds))
+        # test split is normalize-only: invertible back to the uint8/255 grid
+        im = batch["image"] * ds.std + ds.mean
+        np.testing.assert_allclose(im, np.round(im * 255) / 255, atol=1e-5)
+
+
+def test_cifar_train_aug_is_random_resized_crop(cifar_dir):
+    """Train aug is RandomResizedCrop(32)+hflip (reference :97-99), seeded."""
+    from frostnet_tpu.data.datasets import CIFARClassification
+
+    a = next(iter(CIFARClassification(str(cifar_dir), True, 16, seed=1)))
+    b = next(iter(CIFARClassification(str(cifar_dir), True, 16, seed=1)))
+    c = next(iter(CIFARClassification(str(cifar_dir), True, 16, seed=2)))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert not np.allclose(a["image"], c["image"])
+    assert a["image"].shape == (16, 32, 32, 3)
+
+
 def test_registry_dispatch(svhn_dir):
     ds = build_classification_dataset("svhn", str(svhn_dir), train=True,
                                       batch_size=4)
