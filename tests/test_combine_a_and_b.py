@@ -1,0 +1,87 @@
+"""A/B pairing prep script -> AlignedDataset roundtrip
+(reference Style_Transfer/datasets/combine_A_and_B.py:1-48)."""
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "combine_a_and_b",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "combine_a_and_b.py"))
+combine = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(combine)
+
+
+@pytest.fixture()
+def ab_dirs(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    fa, fb = tmp_path / "A", tmp_path / "B"
+    for split in ("train", "val"):
+        (fa / split).mkdir(parents=True)
+        (fb / split).mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                fa / split / f"{i}.png")
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                fb / split / f"{i}.png")
+    return fa, fb, tmp_path / "AB"
+
+
+def test_combine_writes_concatenated_pairs(ab_dirs):
+    from PIL import Image
+
+    fa, fb, fab = ab_dirs
+    n = combine.main(str(fa), str(fb), str(fab))
+    assert n == 6
+    out = Image.open(fab / "train" / "0.png")
+    assert out.size == (128, 64)  # A|B side by side
+    a = np.asarray(Image.open(fa / "train" / "0.png"))
+    b = np.asarray(Image.open(fb / "train" / "0.png"))
+    ab = np.asarray(out)
+    np.testing.assert_array_equal(ab[:, :64], a)
+    np.testing.assert_array_equal(ab[:, 64:], b)
+
+
+def test_combined_output_feeds_aligned_dataset(ab_dirs):
+    from frostnet_tpu.gan.data import AlignedDataset
+
+    fa, fb, fab = ab_dirs
+    combine.main(str(fa), str(fb), str(fab))
+    ds = AlignedDataset(str(fab), phase="train", batch_size=2,
+                        load_size=40, crop_size=32)
+    batch = next(iter(ds))
+    assert batch["A"].shape == (2, 32, 32, 3)
+    assert batch["B"].shape == (2, 32, 32, 3)
+    assert batch["A"].min() >= -1.0 and batch["A"].max() <= 1.0
+
+
+def test_use_ab_suffix_pairing(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    fa = tmp_path / "flat"
+    fa.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            fa / f"{i}_A.png")
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            fa / f"{i}_B.png")
+    n = combine.main(str(fa), str(fa), str(tmp_path / "out"), use_ab=True)
+    assert n == 2
+    assert sorted(os.listdir(tmp_path / "out")) == ["0.png", "1.png"]
+
+
+def test_size_mismatch_raises_without_resize(tmp_path):
+    from PIL import Image
+
+    fa, fb = tmp_path / "a", tmp_path / "b"
+    fa.mkdir(), fb.mkdir()
+    Image.new("RGB", (32, 32)).save(fa / "x.png")
+    Image.new("RGB", (48, 32)).save(fb / "x.png")
+    with pytest.raises(ValueError, match="size mismatch"):
+        combine.main(str(fa), str(fb), str(tmp_path / "o"))
+    assert combine.main(str(fa), str(fb), str(tmp_path / "o"), resize_b=True) == 1
