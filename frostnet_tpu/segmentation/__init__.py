@@ -6,6 +6,7 @@ from .data import (
     CITYSCAPES_IGNORE,
     CITYSCAPES_CLASS_WEIGHTS,
     CityscapesSegmentation,
+    VOCSegmentation,
     SyntheticSegmentation,
     PairedTransforms,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "CITYSCAPES_IGNORE",
     "CITYSCAPES_CLASS_WEIGHTS",
     "CityscapesSegmentation",
+    "VOCSegmentation",
     "SyntheticSegmentation",
     "PairedTransforms",
 ]

@@ -54,15 +54,21 @@ def relabel(pred: np.ndarray) -> np.ndarray:
 
 def main(args):
     logger = MetricLogger(None, name="seg-eval")
-    cfg = SegConfig(model=args.model, dataset=args.dataset,
-                    crop_size=args.crop_size, batch_size=args.batch_size,
-                    num_classes=args.num_classes)
+    from .train import resolve_dataset_defaults
+    cfg = resolve_dataset_defaults(
+        SegConfig(model=args.model, dataset=args.dataset,
+                  crop_size=args.crop_size, batch_size=args.batch_size,
+                  num_classes=args.num_classes))
     mesh = make_mesh()
     model = get_seg_model(cfg.model, num_classes=cfg.num_classes)
     tx = get_optimizer("QSGD", 1e-3)
     if cfg.dataset == "synthetic":
         ds = SyntheticSegmentation(cfg.num_classes, (cfg.crop_size, cfg.crop_size),
                                    cfg.batch_size * 2, cfg.batch_size, 1)
+    elif cfg.dataset == "pascal":
+        from .data import VOCSegmentation
+        ds = VOCSegmentation(args.data_dir, train=False,
+                             batch_size=cfg.batch_size)
     else:
         ds = CityscapesSegmentation(args.data_dir, train=False,
                                     batch_size=cfg.batch_size)

@@ -35,6 +35,7 @@ from .data import (
     CITYSCAPES_IGNORE,
     CityscapesSegmentation,
     SyntheticSegmentation,
+    VOCSegmentation,
 )
 from .models import get_seg_model
 
@@ -42,8 +43,11 @@ from .models import get_seg_model
 @dataclasses.dataclass
 class SegConfig:
     model: str = "mobilenetv3_RE_small"
-    dataset: str = "synthetic"      # 'city' | 'synthetic'
-    data_dir: str = "./data/cityscapes"
+    dataset: str = "synthetic"      # 'city' | 'pascal' | 'synthetic'
+    data_dir: str = "./data/cityscapes"  # pascal: the VOCdevkit root
+    coco_list: Optional[str] = None  # pascal: extra COCO-as-VOC "img,mask"
+                                     # pretraining list (reference --coco_path,
+                                     # voc.py:13-108)
     num_classes: int = 19
     crop_size: int = 768
     batch_size: int = 16
@@ -63,15 +67,35 @@ class SegConfig:
                                     # (reference --resume, train.py:228-236)
 
 
-def _dataset(cfg: SegConfig, train: bool):
+def resolve_dataset_defaults(cfg: SegConfig) -> SegConfig:
+    """The reference fixes crop/classes per dataset (train.py:39-66):
+    pascal -> 512 crop, 21 classes; city -> 768 crop, 19 classes."""
+    if cfg.dataset == "pascal":
+        cfg.num_classes = VOCSegmentation.NUM_CLASSES
+        if cfg.crop_size == 768:  # untouched city default
+            cfg.crop_size = 512
+    return cfg
+
+
+def build_seg_dataset(cfg: SegConfig, train: bool):
     if cfg.dataset == "synthetic":
         return SyntheticSegmentation(
             num_classes=cfg.num_classes, crop=(cfg.crop_size, cfg.crop_size),
             length=cfg.batch_size * (cfg.steps_per_epoch or 4),
             batch_size=cfg.batch_size, seed=cfg.seed + (not train))
-    return CityscapesSegmentation(
-        cfg.data_dir, train=train, crop_size=(cfg.crop_size, cfg.crop_size),
-        batch_size=cfg.batch_size, seed=cfg.seed)
+    if cfg.dataset == "pascal":
+        return VOCSegmentation(
+            cfg.data_dir, train=train, crop_size=(cfg.crop_size, cfg.crop_size),
+            batch_size=cfg.batch_size, seed=cfg.seed,
+            coco_list=cfg.coco_list if train else None)
+    if cfg.dataset == "city":
+        return CityscapesSegmentation(
+            cfg.data_dir, train=train, crop_size=(cfg.crop_size, cfg.crop_size),
+            batch_size=cfg.batch_size, seed=cfg.seed)
+    raise ValueError(f"unknown dataset {cfg.dataset!r} (city|pascal|synthetic)")
+
+
+_dataset = build_seg_dataset  # back-compat alias
 
 
 def make_seg_train_step(model, mode, class_weights, ignore_index, num_classes):
@@ -128,19 +152,22 @@ def evaluate_seg(model, state, dataset, mesh, mode, cfg, max_steps=None):
 
 
 def main(cfg: SegConfig):
+    cfg = resolve_dataset_defaults(cfg)
     os.makedirs(cfg.save_dir, exist_ok=True)
     logger = MetricLogger(cfg.save_dir, name="seg")
     with open(os.path.join(cfg.save_dir, "arguments.json"), "w") as f:
         json.dump(dataclasses.asdict(cfg), f, indent=2)  # train.py:196-201
 
     mesh = make_mesh()
-    train_ds = _dataset(cfg, True)
-    val_ds = _dataset(cfg, False)
+    train_ds = build_seg_dataset(cfg, True)
+    val_ds = build_seg_dataset(cfg, False)
     steps_per_epoch = cfg.steps_per_epoch or len(train_ds)
     total_steps = (cfg.fp_epochs + cfg.epochs) * steps_per_epoch
 
+    # LR-ASPP pool geometry follows the dataset (LRASPP.py pool sizes:
+    # city (37,12), pascal/other (25,8))
     model = get_seg_model(cfg.model, num_classes=cfg.num_classes,
-                          dataset="city" if cfg.dataset != "synthetic" else "city")
+                          dataset="city" if cfg.dataset != "pascal" else "pascal")
     schedule = get_lr_scheduler(cfg.scheduler, base_lr=cfg.learning_rate,
                                 total_steps=total_steps, power=cfg.power) \
         if cfg.scheduler == "poly" else get_lr_scheduler(
