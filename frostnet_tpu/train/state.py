@@ -113,11 +113,20 @@ def make_train_step(
     donate: bool = True,
     input_mean=None,
     input_std=None,
+    remat: bool = False,
 ):
     """Jitted classification train step for one phase.
 
     ``loss_fn(outputs, batch) -> scalar`` overrides the default CE-on-labels.
     Metrics: loss, top1, top5 (reference train loop, helper_functions.py:99-163).
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` so the backward
+    replays it instead of storing residuals. Unlike flax ``nn.remat`` (whose
+    lifted transform re-runs the mutable-collection updates in the replay,
+    double-advancing observers/BN — measured round 2, CLAUDE.md), checkpoint
+    over the *pure* apply keeps the mutation outputs primal-only: observer
+    and BN updates are ordinary outputs of the checkpointed function, so
+    numerics are bit-identical to the unchecked step.
     """
 
     if loss_fn is None:
@@ -138,6 +147,9 @@ def make_train_step(
                 mutable=mutable, rngs={"dropout": dropout_rng})
             loss = loss_fn(outputs, batch)
             return loss, (outputs, updates)
+
+        if remat:
+            compute_loss = jax.checkpoint(compute_loss)
 
         (loss, (outputs, updates)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
@@ -167,16 +179,18 @@ def make_train_step(
 
 
 def make_eval_step(model, mode: QuantMode, num_classes: Optional[int] = None,
-                   use_ema: bool = False):
+                   use_ema: bool = False, input_mean=None, input_std=None):
     """Jitted eval step -> metrics dict (reference val(),
     helper_functions.py:306-350). ``use_ema`` evaluates the EMA weights
-    (the recipe validates EMA params)."""
+    (the recipe validates EMA params). ``input_mean``/``input_std`` must match
+    the stats the train step normalized uint8 batches with."""
 
     def step(state: QATTrainState, batch):
         variables = state.model_variables
         if use_ema and state.ema is not None:
             variables = {**variables, "params": state.ema}
-        outputs = model.apply(variables, _prep_image(batch["image"]), mode=mode)
+        outputs = model.apply(
+            variables, _prep_image(batch["image"], input_mean, input_std), mode=mode)
         loss = cross_entropy(outputs, batch["label"])
         metrics = {"loss": loss}
         if outputs.ndim == 2:
@@ -189,7 +203,8 @@ def make_eval_step(model, mode: QuantMode, num_classes: Optional[int] = None,
 
 
 def recalibrate(model, state: QATTrainState, batches, mode: QuantMode = QAT,
-                rng: Optional[jax.Array] = None) -> QATTrainState:
+                rng: Optional[jax.Array] = None,
+                input_mean=None, input_std=None) -> QATTrainState:
     """Re-estimate BN running stats + quant observers before eval/freeze.
 
     Runs forward passes in QAT-train mode without optimizer updates — the
@@ -202,7 +217,8 @@ def recalibrate(model, state: QATTrainState, batches, mode: QuantMode = QAT,
 
     @jax.jit
     def calib(variables, image):
-        _, upd = model.apply(variables, _prep_image(image), mode=mode,
+        _, upd = model.apply(variables, _prep_image(image, input_mean, input_std),
+                             mode=mode,
                              train=True, mutable=["batch_stats", "quant"],
                              rngs={"dropout": rng})
         return upd
