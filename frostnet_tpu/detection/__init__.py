@@ -14,7 +14,8 @@ from .losses import multibox_loss
 from .nms import nms_fixed, detect
 from .models import SSDMobileNetV2Feat, SSDHead, build_ssd
 from .tdsod import TDSODFeat, TDSODHead, build_tdsod
-from .data import VOCDetection, SyntheticDetection, VOC_CLASSES, ssd_augment, pad_targets
+from .data import (VOCDetection, COCODetection, SyntheticDetection,
+                   VOC_CLASSES, ssd_augment, pad_targets)
 from .evaluate import evaluate_map, voc_ap
 
 __all__ = [
@@ -41,6 +42,7 @@ __all__ = [
     "TDSODHead",
     "build_tdsod",
     "VOCDetection",
+    "COCODetection",
     "SyntheticDetection",
     "VOC_CLASSES",
     "ssd_augment",

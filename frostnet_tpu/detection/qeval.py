@@ -16,8 +16,9 @@ import jax.numpy as jnp
 
 from ..nn import QAT, QAT_FROZEN, INT8
 from ..utils.logging import MetricLogger
-from .anchors import CONFIGS, make_priors
-from .data import SyntheticDetection, VOCDetection
+from .anchors import make_priors
+from .data import COCODetection, SyntheticDetection, VOCDetection
+from .train import select_config
 from .evaluate import evaluate_map
 from .models import build_ssd
 from .tdsod import build_tdsod
@@ -31,13 +32,16 @@ def evaluator(net_type="qssd", dataset="synthetic", data_root="./data/VOCdevkit"
     train loop, qtrainval.py:306-319). Pass trained (feat_vars, head_vars)
     or get randomly-initialized nets for smoke runs."""
     logger = MetricLogger(None, name="det-eval")
-    det_cfg = CONFIGS["tdsod_voc" if net_type == "qtdsod" else "voc"]
+    det_cfg = select_config(net_type, dataset)
     priors = make_priors(det_cfg)
     build = build_tdsod if net_type == "qtdsod" else build_ssd
     feat, head = build(num_classes=num_classes)
 
     if dataset == "synthetic":
         ds = SyntheticDetection(num_classes - 1, 300, batch_size * 2, batch_size, 1)
+    elif dataset == "coco":
+        ds = COCODetection(data_root, split="val2017",
+                           batch_size=batch_size, train=False)
     else:
         ds = VOCDetection(data_root, image_sets=(("2007", "test"),),
                           batch_size=batch_size, train=False)

@@ -24,10 +24,11 @@ import optax
 
 from ..nn import FP32, QAT
 from ..optim import get_optimizer, set_warmup, schedules
+from ..parallel import make_mesh, replicate, shard_batch
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from .anchors import CONFIGS, make_priors
-from .data import SyntheticDetection, VOCDetection
+from .data import COCODetection, SyntheticDetection, VOCDetection
 from .losses import multibox_loss
 from .models import build_ssd
 from .tdsod import build_tdsod
@@ -36,9 +37,10 @@ from .tdsod import build_tdsod
 @dataclasses.dataclass
 class DetConfig:
     net_type: str = "qssd"          # 'qssd' | 'qtdsod'
-    dataset: str = "synthetic"      # 'voc' | 'synthetic'
-    data_root: str = "./data/VOCdevkit"
-    num_classes: int = 21
+    dataset: str = "synthetic"      # 'voc' | 'coco' | 'synthetic'
+    data_root: str = "./data/VOCdevkit"  # coco: the COCO root (annotations/ + splits)
+    coco_split: str = "train2017"
+    num_classes: Optional[int] = None    # default: dataset config (21 voc / 201 coco)
     batch_size: int = 32
     lr: float = 1e-3
     momentum: float = 0.9
@@ -59,6 +61,28 @@ class DetConfig:
                                         # training (ssd_qmv2.py:338-341)
     seed: int = 0
     save_dir: str = "./runs/detection"
+
+
+def select_config(net_type: str, dataset: str) -> dict:
+    """Anchor/schedule config for (net, dataset) — reference cfg dispatch
+    (qtrainval.py:103-108 voc/TDSOD_voc; data/config.py:50-80 coco)."""
+    key = "coco" if dataset == "coco" else "voc"
+    return CONFIGS[f"tdsod_{key}" if net_type == "qtdsod" else key]
+
+
+def build_detection_dataset(cfg: "DetConfig", train: bool = True):
+    """'voc' | 'coco' | 'synthetic' -> batched detection dataset."""
+    if cfg.dataset == "synthetic":
+        return SyntheticDetection((cfg.num_classes or 21) - 1, 300,
+                                  cfg.batch_size * 4, cfg.batch_size, cfg.seed)
+    if cfg.dataset == "coco":
+        return COCODetection(cfg.data_root, split=cfg.coco_split,
+                             batch_size=cfg.batch_size, train=train,
+                             seed=cfg.seed)
+    if cfg.dataset == "voc":
+        return VOCDetection(cfg.data_root, batch_size=cfg.batch_size,
+                            train=train, seed=cfg.seed)
+    raise ValueError(f"unknown dataset {cfg.dataset!r} (voc|coco|synthetic)")
 
 
 @flax.struct.dataclass
@@ -112,15 +136,16 @@ def main(cfg: DetConfig):
     logger = MetricLogger(cfg.save_dir, name="det")
     logger.info(f"config: {dataclasses.asdict(cfg)}")
 
-    det_cfg = CONFIGS["tdsod_voc" if cfg.net_type == "qtdsod" else "voc"]
+    det_cfg = select_config(cfg.net_type, cfg.dataset)
     priors = jnp.asarray(make_priors(det_cfg))
     max_iter = cfg.max_iter or det_cfg["max_iter"]
+    # default head width follows the dataset config (21 voc / 201 coco — the
+    # reference keeps ssd.pytorch's oversized 201-way COCO head, config.py:52);
+    # --num_classes 81 gives the compact contiguous-label head instead.
+    num_classes = cfg.num_classes or det_cfg["num_classes"]
+    cfg.num_classes = num_classes
 
-    if cfg.dataset == "synthetic":
-        ds = SyntheticDetection(cfg.num_classes - 1, 300,
-                                cfg.batch_size * 4, cfg.batch_size, cfg.seed)
-    else:
-        ds = VOCDetection(cfg.data_root, batch_size=cfg.batch_size, seed=cfg.seed)
+    ds = build_detection_dataset(cfg)
     epoch_size = max(len(ds), 1)
     warmup_iters = cfg.warmup_iters if cfg.warmup_iters is not None else 2 * epoch_size
 
@@ -164,6 +189,13 @@ def main(cfg: DetConfig):
             os.path.join(cfg.save_dir, f"ssd300_{cfg.resume_iter}"), state)
         it = cfg.resume_iter
         logger.info(f"resumed from ssd300_{it} (step {int(state.step)})")
+
+    # dp mesh: state replicated, batches sharded over 'dp' — replaces the
+    # reference's DataParallel over BOTH the feat net and the head
+    # (qtrainval.py:124-126); pjit inserts the gradient psum.
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    logger.info(f"mesh {dict(mesh.shape)}")
     data_iter = iter(ds)
 
     def next_batch():
@@ -173,7 +205,7 @@ def main(cfg: DetConfig):
         except StopIteration:
             data_iter = iter(ds)
             b = next(data_iter)
-        return {k: jnp.asarray(v) for k, v in b.items()}
+        return shard_batch({k: np.asarray(v) for k, v in b.items()}, mesh)
 
     while it < warmup_iters:  # FP warm-up (qtrainval.py:187-237)
         state, m = fp_step(state, next_batch())

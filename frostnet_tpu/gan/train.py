@@ -22,6 +22,7 @@ import numpy as np
 
 from ..nn import FP32, QAT
 from ..optim import adam, qadam, set_warmup
+from ..parallel import make_mesh, replicate, shard_batch
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from .data import AlignedDataset, UnalignedDataset, SyntheticPairs
@@ -104,6 +105,12 @@ def train_pix2pix(cfg: GANConfig, logger):
         resumed = True
         logger.info(f"continue_train: restored latest_G/latest_D from {cfg.save_dir}")
 
+    # dp mesh over both nets — the reference DataParallels every net through
+    # init_net (networks.py:207-208); here the states replicate and the batch
+    # shards over 'dp' (1-device fast path skips sharding).
+    mesh = make_mesh()
+    g_state, d_state = replicate(g_state, mesh), replicate(d_state, mesh)
+
     def run_phase(mode, epochs, tag):
         nonlocal g_state, d_state
         d_step, g_step = make_pix2pix_steps(netG, netD, mode, cfg.gan_mode, cfg.lambda_l1)
@@ -112,7 +119,7 @@ def train_pix2pix(cfg: GANConfig, logger):
             for i, batch in enumerate(ds):
                 if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                     break
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
                 d_state, md = d_step(g_state, d_state, batch)
                 g_state, mg = g_step(g_state, d_state, batch)
                 metrics = {**{k: float(v) for k, v in md.items()},
@@ -148,6 +155,13 @@ def train_cyclegan(cfg: GANConfig, logger):
                         init_kwargs={"train": True})
     pool_a, pool_b = ImagePool(cfg.pool_size, cfg.seed), ImagePool(cfg.pool_size, cfg.seed + 1)
 
+    # dp mesh over all four nets (reference init_net DataParallel,
+    # networks.py:207-208); the ImagePool stays host-side and its samples
+    # re-shard on the way back in.
+    mesh = make_mesh()
+    gA, gB, dA, dB = (replicate(s, mesh) for s in (gA, gB, dA, dB))
+    joint_opt_state = replicate(joint_opt_state, mesh)
+
     def run_phase(mode, epochs, tag):
         nonlocal gA, gB, dA, dB, joint_opt_state
         g_step, d_step = make_cyclegan_steps(
@@ -158,11 +172,11 @@ def train_cyclegan(cfg: GANConfig, logger):
             for i, batch in enumerate(ds):
                 if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                     break
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
                 gA, gB, joint_opt_state, fake_a, fake_b, mg = g_step(
                     gA, gB, dA, dB, batch, joint_opt_state)
-                fb = jnp.asarray(pool_b.query(np.asarray(fake_b)))
-                fa = jnp.asarray(pool_a.query(np.asarray(fake_a)))
+                fb = shard_batch(pool_b.query(np.asarray(fake_b)), mesh)
+                fa = shard_batch(pool_a.query(np.asarray(fake_a)), mesh)
                 dA, loss_da = d_step(dA, batch["B"], fb)
                 dB, loss_db = d_step(dB, batch["A"], fa)
                 metrics = {**{k: float(v) for k, v in mg.items()},
