@@ -174,27 +174,32 @@ class QConvBNAct(fnn.Module):
             qw = quantize(wf, w_scale, w_zp, wspec, channel_axis=w_ch_axis)
 
             # True int8 x int8 -> int32 conv (MXU path). The uint8 activation
-            # is shifted by 128 to fit int8; the zero-point contribution is
-            # removed exactly via the valid-tap weight sum
-            #   acc_true = conv(qx-128, qw) - (zp-128) * conv(ones, qw)
-            # where conv(ones, qw) is input-independent, so XLA constant-folds
-            # it when params are jit closure constants (the freeze pattern).
+            # is shifted by 128 to fit int8, and the input is PADDED WITH THE
+            # ZERO POINT (qnnpack pad semantics: out-of-image taps contribute
+            # exactly zero), so the zero-point correction collapses to a
+            # per-out-channel constant:
+            #   acc_true = conv(pad(qx-128, zp-128), qw, VALID)
+            #              - (zp-128) * sum_taps(qw)[oc]
+            # Bit-identical to the padded-conv + valid-tap-sum formulation
+            # (integer math throughout), but with NO second conv — the old
+            # conv(ones, qw) correction relied on XLA constant folding that
+            # does not fire for large spatial constants, doubling serving
+            # conv cost (round-3 fix; reference requant semantics per
+            # torch.ao.nn.quantized.Conv2d / qnnpack).
             x8 = (x.q.astype(jnp.int32) - 128).astype(jnp.int8)
             zp_eff = (x.zero_point - 128).astype(jnp.int32)
+            (ph_lo, ph_hi), (pw_lo, pw_hi) = padding
+            x8p = jax.lax.pad(
+                x8, zp_eff.astype(jnp.int8),
+                ((0, 0, 0), (ph_lo, ph_hi, 0), (pw_lo, pw_hi, 0), (0, 0, 0)))
             acc = jax.lax.conv_general_dilated(
-                x8, qw, strides, padding, rhs_dilation=dilation,
+                x8p, qw, strides, ((0, 0), (0, 0)), rhs_dilation=dilation,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.groups,
                 preferred_element_type=jnp.int32,
             )
-            ones_img = jnp.ones((1,) + x.q.shape[1:3] + (x.q.shape[3],), jnp.int8)
-            valid_w_sum = jax.lax.conv_general_dilated(
-                ones_img, qw, strides, padding, rhs_dilation=dilation,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.groups,
-                preferred_element_type=jnp.int32,
-            )
-            acc = acc - zp_eff * valid_w_sum
+            w_sum = jnp.sum(qw.astype(jnp.int32), axis=(0, 1, 2))
+            acc = acc - zp_eff * w_sum
 
             # float epilogue (XLA fuses): dequant -> bias -> act -> requant
             w_scale_b = w_scale if w_ch_axis is None else w_scale.reshape((1, 1, 1, -1))

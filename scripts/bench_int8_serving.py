@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""INT8-vs-FP32 serving throughput on the real chip (honest chained timing).
+
+Measures the PARITY.md inference table (frostnet_large_1_0, bs128, 224px):
+FP32(bf16) / QAT-sim / INT8 images-per-second with a device-side chain and
+ONE host readback (block_until_ready does not wait on this transport — see
+CLAUDE.md). Also dumps XLA cost analysis (flops/bytes) per mode so wins and
+losses are attributable.
+
+Run serially (one TPU process at a time):  python scripts/bench_int8_serving.py
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/bench_cache/jax")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def chain_time(fn, x, steps, reps=3):
+    """Chained execution: out feeds back via a data dependency; one readback."""
+
+    def chained(x0):
+        def body(i, carry):
+            y = fn(carry)
+            # fold the output back into an input-shaped tensor (cheap) so
+            # iterations serialize on device
+            return carry * 0 + jnp.mean(y).astype(carry.dtype)
+
+        final = jax.lax.fori_loop(0, steps, body, x0)
+        return jnp.sum(fn(final))
+
+    cfn = jax.jit(chained)
+    _ = float(cfn(x))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        v = float(cfn(x))
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        assert v == v, "nan"
+    return best / (steps + 1)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="frostnet_quant_large_1_0")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--image", type=int, default=224)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--modes", default="fp32,qat,int8")
+    p.add_argument("--cost", action="store_true", help="print XLA cost analysis")
+    args = p.parse_args()
+
+    from frostnet_tpu.models import create_model
+    from frostnet_tpu.nn import FP32, QAT_FROZEN, INT8
+
+    model = create_model(args.model, num_classes=1000, dtype=jnp.bfloat16)
+    x = jnp.zeros((args.batch, args.image, args.image, 3), jnp.float32)
+    variables = jax.jit(lambda k, i: model.init(k, i, mode=QAT_FROZEN))(
+        jax.random.PRNGKey(0), x)
+
+    mode_map = {"fp32": FP32, "qat": QAT_FROZEN, "int8": INT8}
+    for name in args.modes.split(","):
+        mode = mode_map[name]
+        fn = lambda inp: model.apply(variables, inp, mode=mode)  # noqa: E731
+        if args.cost:
+            lowered = jax.jit(fn).lower(x)
+            cost = lowered.compile().cost_analysis()
+            flops = cost.get("flops", 0.0)
+            bytes_ = cost.get("bytes accessed", 0.0)
+            print(f"{name}: flops/img={flops/args.batch/1e6:.1f}M "
+                  f"bytes/img={bytes_/args.batch/1e6:.2f}MB", flush=True)
+        dt = chain_time(fn, x, args.steps)
+        print(f"{name}: {args.batch/dt:,.0f} img/s  ({dt*1e3:.2f} ms/batch)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

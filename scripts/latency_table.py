@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Per-model FP32/QAT/INT8 latency table on the real chip.
+
+The reference's only machine-readable baseline is the 9-model CPU latency
+table (Classification/README.md:31-47, mirrored in BASELINE.md). This runs
+our honest chained-timing probe (train/latency_check.py) across the same
+model set and prints a markdown table for PARITY.md.
+
+Run serially on a quiet host: python scripts/latency_table.py [--batch 1]
+"""
+import argparse
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/bench_cache/jax")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# the reference table's rows (Classification/README.md:33-47), our names
+MODELS = [
+    "qresnet18",
+    "qshufflenet_v2_x1_0",
+    "qmobilenet_v2_ReLU",
+    "qmobilenet_v2_ReLU6",
+    "qmobilenet_v3_large_HS",
+    "qmobilenet_v3_small_HS",
+    "qmobilenet_v3_large_ReLU",
+    "qmobilenet_v3_small_ReLU",
+    "frostnet_quant_large_1_0",
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--models", default=None, help="comma list override")
+    args = p.parse_args()
+
+    from frostnet_tpu.train import latency_check
+
+    rows = []
+    for name in (args.models.split(",") if args.models else MODELS):
+        ns = argparse.Namespace(model=name, backend="fbgemm", num_classes=1000,
+                                image_size=224, batch_size=args.batch,
+                                iters=args.iters, seg=False)
+        try:
+            r = latency_check.main(ns)
+            rows.append((name, r["fp_ms"], r["qat_ms"], r["int8_ms"], r["rate"]))
+        except Exception as e:  # noqa: BLE001 — keep the sweep going
+            print(f"| {name} | ERROR {type(e).__name__}: {e} |", flush=True)
+
+    print("\n| model | FP32 ms | QAT ms | INT8 ms | INT8 vs FP32 |")
+    print("|---|---|---|---|---|")
+    for name, fp, qat, i8, rate in rows:
+        print(f"| {name} | {fp:.2f} | {qat:.2f} | {i8:.2f} | {rate:+.1f}% |")
+
+
+if __name__ == "__main__":
+    main()
