@@ -33,6 +33,8 @@ A100_EAGER_QAT_IMG_S = 950.0
 TARGET = 2.0 * A100_EAGER_QAT_IMG_S
 
 BATCH = int(os.environ.get("BENCH_BATCH", 256))  # honest sweep: 256 > 512 (3.0k vs 2.8k img/s)
+_R = os.environ.get("BENCH_REMAT", "0")  # 0 | 1/full | conv_outs (A/B knob)
+REMAT = {"0": False, "1": True, "full": True}.get(_R, _R)
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 REPS = int(os.environ.get("BENCH_REPS", 3))  # report best-of-N: host/tunnel
 IMAGE = 224                                  # contention skews single reps
@@ -134,7 +136,7 @@ def main() -> None:
         batch = shard_batch(batch, mesh)
     state = state.start_qat()
 
-    step = make_train_step(model, QAT, num_classes=1000)
+    step = make_train_step(model, QAT, num_classes=1000, remat=REMAT)
     state, _ = step(state, batch)  # compile + 1 step
     jax.block_until_ready(state.params)
 

@@ -32,6 +32,7 @@ from typing import Any, Optional, Sequence, Tuple, Union
 import flax.linen as fnn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..quant import (
     QConfig,
@@ -102,7 +103,7 @@ class QConvBNAct(fnn.Module):
     bn_scale_init: Any = fnn.initializers.ones_init()
 
     def _conv(self, x, w, strides, padding, dilation):
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             w.astype(self.dtype),
             window_strides=strides,
@@ -112,6 +113,10 @@ class QConvBNAct(fnn.Module):
             feature_group_count=self.groups,
             precision=self.precision,
         )
+        # named for selective rematerialization: remat='conv_outs' saves
+        # these and recomputes only the elementwise BN/act/fake-quant chains
+        # in the backward (train/state.make_train_step)
+        return checkpoint_name(y, "conv_out")
 
     @fnn.compact
     def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):

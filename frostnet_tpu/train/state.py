@@ -120,13 +120,19 @@ def make_train_step(
     ``loss_fn(outputs, batch) -> scalar`` overrides the default CE-on-labels.
     Metrics: loss, top1, top5 (reference train loop, helper_functions.py:99-163).
 
-    ``remat=True`` wraps the forward in ``jax.checkpoint`` so the backward
-    replays it instead of storing residuals. Unlike flax ``nn.remat`` (whose
-    lifted transform re-runs the mutable-collection updates in the replay,
-    double-advancing observers/BN — measured round 2, CLAUDE.md), checkpoint
-    over the *pure* apply keeps the mutation outputs primal-only: observer
-    and BN updates are ordinary outputs of the checkpointed function, so
-    numerics are bit-identical to the unchecked step.
+    ``remat`` wraps the forward in ``jax.checkpoint`` so the backward
+    replays (parts of) it instead of storing residuals. Unlike flax
+    ``nn.remat`` (whose lifted transform re-runs the mutable-collection
+    updates in the replay, double-advancing observers/BN — measured round 2,
+    CLAUDE.md), checkpoint over the *pure* apply keeps the mutation outputs
+    primal-only. Values: False | True/'full' (save nothing) | 'conv_outs'
+    (save conv outputs — QConvBNAct names them — and recompute only the
+    elementwise BN/act/fake-quant chains).
+
+    Measured on v5e (bs256/224 QAT bench): plain 3,020 img/s, 'full' 2,374,
+    'conv_outs' 2,592 (replay bandwidth exceeds residual savings in this
+    HBM-bound step; XLA's default residual choice is already good) — remat
+    is a memory lever here, not a throughput one.
     """
 
     if loss_fn is None:
@@ -148,7 +154,11 @@ def make_train_step(
             loss = loss_fn(outputs, batch)
             return loss, (outputs, updates)
 
-        if remat:
+        if remat == "conv_outs":
+            compute_loss = jax.checkpoint(
+                compute_loss,
+                policy=jax.checkpoint_policies.save_only_these_names("conv_out"))
+        elif remat:
             compute_loss = jax.checkpoint(compute_loss)
 
         (loss, (outputs, updates)), grads = jax.value_and_grad(
