@@ -66,11 +66,21 @@ def replicate(tree, mesh: Mesh):
 
 
 # Tensor-parallel sharding rules: param-path regex -> PartitionSpec.
-# Only dims >= 512 channels benefit; FrostNet's 1280-ch head and classifier
-# input are the wide ones.
+# Two Megatron-style pairs (shard the producer's out-channels, the
+# consumer's in-channels; pjit inserts the psum after the consumer):
+#   * head pair: 1280-ch last_layer -> classifier;
+#   * block pattern: conv1 (1x1 expand, out-ch) -> conv2 (depthwise,
+#     channel dim) -> reduce_conv (1x1 project, in-ch) — the widest tensors
+#     in every CascadePreEx bottleneck (up to ~1.6k channels at width 1.25).
+# GSPMD keeps the math layout-independent (per-channel BN stats stay
+# shard-local; per-tensor observer min/max reduce globally); rules apply
+# only where the dim divides the mp extent (guard below).
 DEFAULT_MP_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*last_layer.*kernel", P(None, None, None, "mp")),   # HWIO out-ch
-    (r".*classifier.*kernel", P(None, None, "mp", None)),   # HWIO in-ch
+    (r".*last_layer.*kernel", P(None, None, None, "mp")),       # HWIO out-ch
+    (r".*classifier.*kernel", P(None, None, "mp", None)),       # HWIO in-ch
+    (r".*layer\d+_\d+/conv1/kernel", P(None, None, None, "mp")),
+    (r".*layer\d+_\d+/conv2/kernel", P(None, None, None, "mp")),
+    (r".*layer\d+_\d+/reduce_conv/kernel", P(None, None, "mp", None)),
 )
 
 

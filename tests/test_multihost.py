@@ -72,28 +72,56 @@ def test_two_process_distributed_train_step():
     assert np.isfinite(loss) and loss > 0
 
 
+_WARM_STATE = {}
+
+
+def _warm_state(model, tx):
+    """A common 5-step pre-trained state (computed once, single layout).
+
+    Warm BN/observer statistics matter: at RANDOM init a dead-ReLU channel
+    gives ~0 batch variance and the BN backward multiplies by
+    rsqrt(eps)≈316, so ANY partial-sum regrouping (a new mesh axis) moves
+    depthwise-kernel grads at the 1e-1 level. After a few real steps the
+    statistics are healthy and the layout comparison can be tight.
+    """
+    if "state" in _WARM_STATE:
+        return _WARM_STATE["state"]
+    from frostnet_tpu.nn import QAT
+    from frostnet_tpu.train import create_train_state, make_train_step
+
+    sample = jnp.zeros((8, 16, 16, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+    state = state.start_qat()
+    step = make_train_step(model, QAT, num_classes=8, donate=False)
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        batch = {"image": jnp.asarray((0.5 * rng.randn(8, 16, 16, 3)).astype(np.float32)),
+                 "label": jnp.asarray(rng.randint(0, 8, 8).astype(np.int32))}
+        state, _ = step(state, batch)
+    _WARM_STATE["state"] = jax.device_get(state)
+    return _WARM_STATE["state"]
+
+
 def _mp_run(mp: int):
-    """One QAT train step + QAT_FROZEN eval forward on a (dp=4, mp) mesh.
+    """One QAT train step + QAT_FROZEN eval forward on a (dp=4, mp) mesh,
+    starting from the SAME warm pre-trained state (see _warm_state).
 
     dp is held FIXED at 4 so the batch partitioning (and its floating-point
     reduction order) is identical between runs: a different dp extent changes
-    partial-sum grouping, and the depthwise-conv-through-BN gradient at
-    random init cancels catastrophically enough that last-ulp reordering
-    shows up at the 1e-2 level (measured on this mesh). With dp fixed, the
-    ONLY difference is the tensor-parallel sharding under test.
+    partial-sum grouping. With dp fixed, the ONLY difference is the
+    tensor-parallel sharding under test.
     """
     from frostnet_tpu.models.frostnet import FrostNet
     from frostnet_tpu.nn import QAT, QAT_FROZEN
     from frostnet_tpu.optim import get_optimizer
     from frostnet_tpu.parallel import (make_mesh, replicate, shard_batch,
                                        shard_params_for_mp)
-    from frostnet_tpu.train import create_train_state, make_train_step
+    from frostnet_tpu.train import make_train_step
 
     mesh = make_mesh(dp=4, mp=mp, devices=jax.devices()[:4 * mp])
     model = FrostNet(mode="tiny", width_mult=1.0, quantized=True, num_classes=8)
     tx = get_optimizer("QSGD", 1e-3)
-    sample = jnp.zeros((8, 16, 16, 3), jnp.float32)
-    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+    state = _warm_state(model, tx)
     state = state.replace(
         params=shard_params_for_mp(state.params, mesh),
         batch_stats=replicate(state.batch_stats, mesh),
@@ -131,6 +159,11 @@ def test_mp2_matches_mp1_numerics():
     # the post-step forward is the serving contract — bit-close
     np.testing.assert_allclose(r1["eval_logits"], r2["eval_logits"],
                                atol=1e-5)
+    # One tolerance band for EVERY leaf — the warm start makes this possible
+    # (round 2 needed a 150%-relative carve-out for layer*/conv2 depthwise
+    # kernels because random-init BN backward is ill-conditioned; from the
+    # warm state the measured worst kernel divergence is <1e-6 relative and
+    # only near-zero reduce_conv BN biases move at the 1e-4 absolute level).
     for key in ("params", "quant"):
         flat1 = jax.tree_util.tree_flatten_with_path(r1[key])[0]
         flat2 = jax.tree.leaves(r2[key])
@@ -138,19 +171,5 @@ def test_mp2_matches_mp1_numerics():
         for (path, a), b in zip(flat1, flat2):
             pathstr = "/".join(str(getattr(k, "key", k)) for k in path)
             scale = max(float(np.abs(a).max()), 1.0)
-            if "/conv2/" in pathstr:
-                # depthwise-kernel grads under batch-stat BN are intrinsically
-                # ill-conditioned at random init: a dead-ReLU input channel
-                # makes the batch variance ~0, so the BN backward multiplies
-                # by rsqrt(eps)≈316 and its mean-subtraction cancels huge
-                # terms — ANY change in partial-sum grouping (incl. adding a
-                # mesh axis) shifts the kernel grad at the 1e-1 level and the
-                # gamma/beta grads at the 1e-4 level. Measured: same-config
-                # runs are bit-identical; only the layer*/conv2 leaves move
-                # across layouts. Require same order of magnitude only.
-                assert np.isfinite(b).all(), pathstr
-                ratio = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
-                assert ratio < 1.5, (pathstr, ratio)
-            else:
-                np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
-                                           err_msg=f"{key}:{pathstr}")
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                       err_msg=f"{key}:{pathstr}")
