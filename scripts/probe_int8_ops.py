@@ -22,12 +22,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def timeit(fn, args, steps=30, reps=3):
+    # data-dependency chain via a single output element (not a full-tensor
+    # reduction, which costs as much bandwidth as the op under test)
     def chained(a0, rest):
         def body(i, carry):
             y = fn(carry, *rest)
-            return carry + (jnp.sum(y) * 0).astype(carry.dtype)
+            return carry + (y.reshape(-1)[0] * 0).astype(carry.dtype)
         final = jax.lax.fori_loop(0, steps, body, a0)
-        return jnp.sum(fn(final, *rest).astype(jnp.float32))
+        return fn(final, *rest).reshape(-1)[0].astype(jnp.float32)
 
     cfn = jax.jit(chained)
     _ = float(cfn(args[0], args[1:]))
