@@ -10,7 +10,9 @@ Run serially on a quiet host: python scripts/latency_table.py [--batch 1]
 """
 import argparse
 import os
+import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/bench_cache/jax")
 
 import jax
