@@ -30,11 +30,12 @@ def _kernel(x_ref, w_ref, scale_ref, bias_ref, qparams_ref, out_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    y = acc.astype(jnp.float32) * scale_ref[0, :] + bias_ref[0, :]
     inv_s = qparams_ref[0]
     zp = qparams_ref[1]
     q = jnp.round(y * inv_s) + zp        # round-half-even like torch/XLA
-    out_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.uint8)
+    # Mosaic has no f32->u8 cast; clamp in f32, hop through i32
+    out_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
@@ -68,15 +69,16 @@ def int8_matmul_requant(x8, w8, scale, bias, out_scale, out_zp,
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (j,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.uint8),
         interpret=interpret,
-    )(x8, w8, scale.astype(jnp.float32), bias.astype(jnp.float32), qparams)
+    )(x8, w8, scale.astype(jnp.float32).reshape(1, -1),
+      bias.astype(jnp.float32).reshape(1, -1), qparams)
     return out[:m, :n]
 
 
