@@ -1,0 +1,81 @@
+"""Fused INT8 Frost-block Pallas kernel: bit-exact vs the unfused XLA chain."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frostnet_tpu.ops.pallas_frost_block import (
+    FrostBlockSpec,
+    build_params,
+    frost_block_int8,
+    pick_batch_tile,
+    reference_frost_block_int8,
+)
+
+
+def _rand_conv(rng, cin, cout, k=1):
+    qw = rng.randint(-127, 128, (k, k, cin if k == 1 else 1, cout), np.int8)
+    scale = (rng.rand(cout).astype(np.float32) * 1e-3 + 1e-4)
+    bias = rng.randn(cout).astype(np.float32) * 0.05
+    out_s = np.float32(rng.rand() * 0.05 + 0.01)
+    out_zp = np.int32(rng.randint(0, 255))
+    return qw, scale, bias, out_s, out_zp
+
+
+def _make_case(spec: FrostBlockSpec, batch, seed=0):
+    rng = np.random.RandomState(seed)
+    x_q = jnp.asarray(rng.randint(0, 256, (batch, spec.h, spec.w, spec.cin),
+                                  np.uint8))
+    c_cat = spec.c_sq + spec.cin if spec.has_squeeze else spec.cin
+    params = build_params(
+        spec,
+        x_scale=np.float32(0.02), x_zp=np.int32(114),
+        sq=_rand_conv(rng, spec.cin, spec.c_sq) if spec.has_squeeze else None,
+        cat=(np.float32(0.018), np.int32(120)) if spec.has_squeeze else None,
+        ex=_rand_conv(rng, c_cat, spec.c_e) if spec.has_expand else None,
+        dw=_rand_conv(rng, 1, spec.c_e, k=spec.kernel),
+        rd=_rand_conv(rng, spec.c_e, spec.cout),
+        add=(np.float32(0.03), np.int32(100)) if spec.residual else None,
+    )
+    return x_q, params
+
+
+CASES = [
+    # CAS block, k5, stride 1, residual (stage-4 pattern at 14x14)
+    FrostBlockSpec(h=14, w=14, cin=96, cout=96, kernel=5, stride=1,
+                   has_squeeze=True, has_expand=True, c_sq=24, c_e=360,
+                   residual=True),
+    # CAS block, k5, stride 2 downsample (stage boundary)
+    FrostBlockSpec(h=28, w=28, cin=40, cout=80, kernel=5, stride=2,
+                   has_squeeze=True, has_expand=True, c_sq=16, c_e=336,
+                   residual=False),
+    # MB fallback (squeezed width < 8): no squeeze/cat
+    FrostBlockSpec(h=56, w=56, cin=24, cout=24, kernel=3, stride=1,
+                   has_squeeze=False, has_expand=True, c_sq=0, c_e=144,
+                   residual=True),
+    # expand_ratio == 1 (first block): dw + reduce only
+    FrostBlockSpec(h=32, w=32, cin=16, cout=16, kernel=3, stride=1,
+                   has_squeeze=False, has_expand=False, c_sq=0, c_e=16,
+                   residual=True),
+]
+
+
+@pytest.mark.parametrize("spec", CASES, ids=lambda s: (
+    f"{'cas' if s.has_squeeze else ('mb' if s.has_expand else 'e1')}"
+    f"_k{s.kernel}s{s.stride}{'r' if s.residual else ''}"))
+def test_fused_block_bit_exact(spec):
+    batch = 4
+    x_q, params = _make_case(spec, batch, seed=hash(spec) % 2**31)
+    want = np.asarray(reference_frost_block_int8(x_q, params, spec))
+    got = np.asarray(frost_block_int8(x_q, params, spec, bt=2, interpret=True))
+    assert want.shape == got.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pick_batch_tile_fits():
+    spec = CASES[0]
+    assert pick_batch_tile(spec, 128) in (16, 8, 4, 2, 1)
+    # absurd spatial size -> no tile fits
+    huge = FrostBlockSpec(h=512, w=512, cin=64, cout=64, kernel=5, stride=1,
+                          has_squeeze=True, has_expand=True, c_sq=16,
+                          c_e=768, residual=True)
+    assert pick_batch_tile(huge, 128) is None
