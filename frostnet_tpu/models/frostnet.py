@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as fnn
+import jax
 import jax.numpy as jnp
 
 from ..nn import (
@@ -113,6 +114,80 @@ class CascadePreExBottleneck(fnn.Module):
     quantized: bool = True
     qconfig: QConfig = QNNPACK
     dtype: Any = jnp.float32
+    # INT8 serving: run the whole block as one fused Pallas kernel
+    # (ops/pallas_frost_block) — bit-identical to the unfused path.
+    fuse_int8: bool = False
+
+    def _fused_int8(self, x, mode, train, block_type, r_channels, residual):
+        """Gather the children's frozen INT8 operands and run the fused
+        Pallas block kernel. Children are invoked with the same names as the
+        unfused path, so the variable tree is identical."""
+        from ..ops.pallas_frost_block import (
+            FrostBlockSpec,
+            build_params,
+            frost_block_int8,
+            pick_batch_tile,
+        )
+
+        b, h, w, cin = x.q.shape
+        has_expand = self.expand_ratio != 1
+        has_squeeze = has_expand and block_type == "CAS"
+        n_channels = (r_channels + cin) if has_squeeze else cin
+        e = n_channels * self.expand_ratio if has_expand else cin
+        spec = FrostBlockSpec(
+            h=h, w=w, cin=cin, cout=self.out_channels,
+            kernel=self.kernel_size, stride=self.strides,
+            has_squeeze=has_squeeze, has_expand=has_expand,
+            c_sq=r_channels if has_squeeze else 0, c_e=e, residual=residual)
+        bt = pick_batch_tile(spec, b)
+        if bt is None:
+            return None  # does not fit VMEM — caller falls back to unfused
+
+        conv_kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype)
+
+        def dummy(c):
+            # flax validates stored-param shapes against the call input, and
+            # the params-only call never touches the data — so hand each
+            # child a zero-cost stand-in with its true channel count.
+            return QTensor(jnp.zeros((1, 1, 1, c), jnp.uint8), x.scale, x.zero_point)
+
+        sq = cat = ex = add = None
+        in_scale, in_zp = x.scale, x.zero_point
+        if has_squeeze:
+            qw, ws, bf, os_, oz = QConvBNAct(
+                r_channels, 1, act="relu", name="squeeze_conv", **conv_kw
+            )(x, mode, train, int8_params_only=True)
+            sq = (qw, x.scale * ws, bf, os_, oz)
+            cat = QCat(self.qconfig, name="quant_cat")([x], mode, qparams_only=True)
+            in_scale, in_zp = cat
+        if has_expand:
+            qw, ws, bf, os_, oz = QConvBNAct(
+                e, 1, act="relu", name="conv1", **conv_kw
+            )(dummy(n_channels), mode, train, int8_params_only=True)
+            ex = (qw, in_scale * ws, bf, os_, oz)
+            in_scale, in_zp = os_, oz
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        qw, ws, bf, os_, oz = QConvBNAct(
+            e, self.kernel_size, strides=self.strides, padding=pad,
+            dilation=self.dilation, groups=e, act="relu", name="conv2", **conv_kw
+        )(dummy(e), mode, train, int8_params_only=True)
+        dw = (qw, in_scale * ws, bf, os_, oz)
+        in_scale, in_zp = os_, oz
+        qw, ws, bf, os_, oz = QConvBNAct(
+            self.out_channels, 1, act=None, name="reduce_conv", **conv_kw
+        )(dummy(e), mode, train, int8_params_only=True)
+        rd = (qw, in_scale * ws, bf, os_, oz)
+        out_scale, out_zp = os_, oz
+        if residual:
+            add = QAdd(self.qconfig, name="skip_add")(x, x, mode, qparams_only=True)
+            out_scale, out_zp = add
+
+        params = build_params(spec, x_scale=x.scale, x_zp=x.zero_point,
+                              sq=sq, cat=cat, ex=ex, dw=dw, rd=rd, add=add)
+        out_q = frost_block_int8(
+            x.q, params, spec, bt=bt,
+            interpret=jax.default_backend() != "tpu")
+        return QTensor(out_q, out_scale, out_zp)
 
     @fnn.compact
     def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
@@ -123,6 +198,12 @@ class CascadePreExBottleneck(fnn.Module):
         r_channels = make_divisible(in_channels // self.reduce_factor)
         residual = self.strides == 1 and in_channels == self.out_channels
         conv_kw = dict(quantized=self.quantized, qconfig=self.qconfig, dtype=self.dtype)
+
+        if (self.fuse_int8 and mode.int8 and self.quantized
+                and self.dilation == 1 and isinstance(x, QTensor)):
+            out = self._fused_int8(x, mode, train, block_type, r_channels, residual)
+            if out is not None:
+                return out
 
         out = x
         if self.expand_ratio == 1:
@@ -182,6 +263,9 @@ class FrostNet(fnn.Module):
     output_stride: int = 32
     qconfig: QConfig = QNNPACK
     dtype: Any = jnp.float32
+    # INT8 serving: fuse each Frost block into one Pallas kernel where it
+    # fits VMEM (ops/pallas_frost_block; bit-identical to the unfused path)
+    fuse_int8: bool = False
 
     def _stage(self, settings, width_mult, dilation, conv_kw, name):
         blocks = []
@@ -196,6 +280,7 @@ class FrostNet(fnn.Module):
                     dilation=dilation,
                     expand_ratio=e,
                     reduce_factor=r,
+                    fuse_int8=self.fuse_int8,
                     name=f"{name}_{i}",
                     **conv_kw,
                 )

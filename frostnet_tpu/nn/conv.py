@@ -119,7 +119,8 @@ class QConvBNAct(fnn.Module):
         return checkpoint_name(y, "conv_out")
 
     @fnn.compact
-    def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False):
+    def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False,
+                 int8_params_only: bool = False):
         kh, kw = _pair(self.kernel_size)
         strides = _pair(self.strides)
         dilation = _pair(self.dilation)
@@ -164,6 +165,23 @@ class QConvBNAct(fnn.Module):
                 "quant", "w_obs",
                 lambda: init_observer(self.features if wspec.per_channel else None))
             act_obs = self.variable("quant", "act_obs", lambda: init_observer(None))
+
+        if int8_params_only:
+            # Fused-block path (ops/pallas_frost_block): the parent block
+            # gathers each conv's frozen INT8 operands instead of running it.
+            # Declares exactly the variables of the normal INT8 branch, so
+            # the pytree structure stays stable.
+            assert q_on and mode.int8, "int8_params_only requires INT8 mode"
+            if self.use_bn:
+                wf, bf = fold_bn(w, bias, gamma, beta, ra_mean.value,
+                                 ra_var.value, self.bn_eps)
+            else:
+                wf = w
+                bf = bias if bias is not None else jnp.zeros((self.features,), jnp.float32)
+            w_scale, w_zp = calculate_qparams(w_obs.value, wspec)
+            qw = quantize(wf, w_scale, w_zp, wspec, channel_axis=w_ch_axis)
+            out_scale, out_zp = calculate_qparams(act_obs.value, aspec)
+            return qw, w_scale, bf, out_scale, out_zp
 
         # ------------------------------------------------------------------
         # INT8 frozen inference

@@ -134,7 +134,9 @@ class QAdd(_QBinary):
     """FloatFunctional.add — skip connections get their own requant scale."""
 
     @fnn.compact
-    def __call__(self, a, b, mode: QuantMode):
+    def __call__(self, a, b, mode: QuantMode, qparams_only: bool = False):
+        if qparams_only:  # fused INT8 block reads the grid, runs the add itself
+            return stored_qparams(self, "act", self.qconfig.activation)
         return self._finish(self._as_f32(a) + self._as_f32(b), mode)
 
 
@@ -158,7 +160,10 @@ class QCat(_QBinary):
     """FloatFunctional.cat (CascadePreEx concat, TDSOD dense cats)."""
 
     @fnn.compact
-    def __call__(self, xs, mode: QuantMode, axis: int = -1):
+    def __call__(self, xs, mode: QuantMode, axis: int = -1,
+                 qparams_only: bool = False):
+        if qparams_only:  # fused INT8 block reads the grid, runs the cat itself
+            return stored_qparams(self, "act", self.qconfig.activation)
         out = jnp.concatenate([self._as_f32(x) for x in xs], axis=axis)
         return self._finish(out, mode)
 

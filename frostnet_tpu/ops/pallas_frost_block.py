@@ -30,6 +30,17 @@ registers/VMEM (Mosaic has no f32->u8 cast; only the final store hops
 through i32). Weight scales are per-channel vectors so both QNNPACK
 (per-tensor) and FBGEMM (per-channel) qconfigs work.
 
+Measured results (v5e, scripts/probe_frost_block.py + bench_int8_serving.py
+--modes int8,fused --check): bit-exact on all four block variants on the
+real chip, standalone-block speed 0.95-1.07x the unfused XLA chain, but
+whole-model (frostnet_large_1_0, bs128/224) the fused path is ~2.8x SLOWER
+(8.7k vs 24.3k img/s). The block is VPU-bound (k^2 depthwise taps and the
+requant chains run on the VPU; the MXU dots are a small fraction), so
+fusing away the HBM round trips buys little, while the kernel gives up
+XLA's cross-block pipelining and its freedom to pick per-layer layouts.
+``FrostNet(fuse_int8=True)`` therefore stays OFF by default: the kernel is
+a verified-correct fusion demonstration, not a production win.
+
 Kernel playbook: /opt/skills/guides/pallas_guide.md.
 """
 from __future__ import annotations

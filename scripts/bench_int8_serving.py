@@ -57,8 +57,12 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--image", type=int, default=224)
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--modes", default="fp32,qat,int8")
+    p.add_argument("--modes", default="fp32,qat,int8",
+                   help="comma list of fp32,qat,int8,fused (fused = "
+                        "fuse_int8 Pallas block kernels in INT8 mode)")
     p.add_argument("--cost", action="store_true", help="print XLA cost analysis")
+    p.add_argument("--check", action="store_true",
+                   help="assert fused INT8 logits == unfused on the chip")
     args = p.parse_args()
 
     from frostnet_tpu.models import create_model
@@ -69,10 +73,29 @@ def main():
     variables = jax.jit(lambda k, i: model.init(k, i, mode=QAT_FROZEN))(
         jax.random.PRNGKey(0), x)
 
-    mode_map = {"fp32": FP32, "qat": QAT_FROZEN, "int8": INT8}
+    fused_model = None
+    if "fused" in args.modes or args.check:
+        fused_model = create_model(args.model, num_classes=1000,
+                                   dtype=jnp.bfloat16, fuse_int8=True)
+
+    if args.check:
+        import numpy as np
+        xr = jax.random.normal(jax.random.PRNGKey(1),
+                               (8, args.image, args.image, 3))
+        want = np.asarray(jax.jit(
+            lambda v, i: model.apply(v, i, mode=INT8))(variables, xr))
+        got = np.asarray(jax.jit(
+            lambda v, i: fused_model.apply(v, i, mode=INT8))(variables, xr))
+        exact = bool((want == got).all())
+        print(f"check: fused==unfused bit-exact: {exact} "
+              f"(max |d|={np.abs(want - got).max():.3g})", flush=True)
+        assert exact
+
+    mode_map = {"fp32": FP32, "qat": QAT_FROZEN, "int8": INT8, "fused": INT8}
     for name in args.modes.split(","):
         mode = mode_map[name]
-        fn = lambda inp: model.apply(variables, inp, mode=mode)  # noqa: E731
+        m = fused_model if name == "fused" else model
+        fn = lambda inp: m.apply(variables, inp, mode=mode)  # noqa: E731
         if args.cost:
             lowered = jax.jit(fn).lower(x)
             cost = lowered.compile().cost_analysis()

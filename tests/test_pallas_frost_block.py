@@ -71,6 +71,35 @@ def test_fused_block_bit_exact(spec):
     np.testing.assert_array_equal(got, want)
 
 
+def test_model_fused_matches_unfused():
+    """FrostNet(fuse_int8=True) INT8 logits are bit-identical to the unfused
+    INT8 path on the same calibrated variables (the wiring contract:
+    models/frostnet.py CascadePreExBottleneck._fused_int8)."""
+    import jax
+
+    from frostnet_tpu import nn as fnn_q
+    from frostnet_tpu.models import create_model
+
+    kw = dict(num_classes=10)
+    plain = create_model("frostnet_quant_small_0_35", **kw)
+    fused = create_model("frostnet_quant_small_0_35", fuse_int8=True, **kw)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    variables = jax.jit(plain.init)(key, x)
+    train_fn = jax.jit(lambda v, xb: plain.apply(
+        v, xb, mode=fnn_q.QAT, train=True,
+        mutable=["batch_stats", "quant"], rngs={"dropout": key}))
+    for i in range(2):
+        xb = jax.random.normal(jax.random.fold_in(key, i), (2, 32, 32, 3))
+        _, updates = train_fn(variables, xb)
+        variables = {**variables, **updates}
+
+    want = jax.jit(lambda v, xb: plain.apply(v, xb, mode=fnn_q.INT8))(variables, x)
+    got = jax.jit(lambda v, xb: fused.apply(v, xb, mode=fnn_q.INT8))(variables, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_pick_batch_tile_fits():
     spec = CASES[0]
     assert pick_batch_tile(spec, 128) in (16, 8, 4, 2, 1)
