@@ -38,8 +38,15 @@ COCO_CFG = {**VOC_CFG,
             "max_sizes": [45, 99, 153, 207, 261, 315],
             "name": "COCO"}
 
+# The reference's TDSOD_coco (data/config.py:66-78) keeps feature_maps
+# [..,3,1] even though the TDSOD net emits a final 2x2 source (its own
+# TDSOD_voc overrides to [..,3,2] for exactly that reason) — with [..,3,1]
+# the prior count never matches the head predictions and training would
+# crash there too. We use the net's true geometry.
+TDSOD_COCO_CFG = {**COCO_CFG, "feature_maps": [38, 19, 10, 5, 3, 2]}
+
 CONFIGS = {"voc": VOC_CFG, "tdsod_voc": TDSOD_VOC_CFG, "coco": COCO_CFG,
-           "tdsod_coco": {**COCO_CFG}}
+           "tdsod_coco": TDSOD_COCO_CFG}
 
 
 def make_priors(cfg: dict) -> np.ndarray:

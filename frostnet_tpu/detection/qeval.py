@@ -25,15 +25,18 @@ from .tdsod import build_tdsod
 
 
 def evaluator(net_type="qssd", dataset="synthetic", data_root="./data/VOCdevkit",
-              num_classes=21, batch_size=4, max_batches=None,
+              num_classes=None, batch_size=4, max_batches=None,
               feat_vars=None, head_vars=None, modes=("qat", "int8"),
               export_int8_path=None):
     """Programmatic entry (the reference's `evaluator(...)` call from the
     train loop, qtrainval.py:306-319). Pass trained (feat_vars, head_vars)
-    or get randomly-initialized nets for smoke runs."""
+    or get randomly-initialized nets for smoke runs. ``num_classes`` defaults
+    from the dataset's anchor config (21 voc / 201 coco), like train.py."""
     logger = MetricLogger(None, name="det-eval")
     det_cfg = select_config(net_type, dataset)
     priors = make_priors(det_cfg)
+    if num_classes is None:
+        num_classes = det_cfg["num_classes"]
     build = build_tdsod if net_type == "qtdsod" else build_ssd
     feat, head = build(num_classes=num_classes)
 
@@ -79,7 +82,8 @@ def cli():
     p.add_argument("--net_type", default="qssd", choices=["qssd", "qtdsod"])
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--data_root", default="./data/VOCdevkit")
-    p.add_argument("--num_classes", type=int, default=21)
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="defaults from the dataset config (21 voc / 201 coco)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--export_int8", default=None, metavar="PATH",

@@ -24,7 +24,7 @@ import optax
 
 from ..nn import FP32, QAT
 from ..optim import get_optimizer, set_warmup, schedules
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_dp_mesh, replicate, shard_batch
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from .anchors import CONFIGS, make_priors
@@ -193,7 +193,7 @@ def main(cfg: DetConfig):
     # dp mesh: state replicated, batches sharded over 'dp' — replaces the
     # reference's DataParallel over BOTH the feat net and the head
     # (qtrainval.py:124-126); pjit inserts the gradient psum.
-    mesh = make_mesh()
+    mesh = make_dp_mesh(cfg.batch_size)
     state = replicate(state, mesh)
     logger.info(f"mesh {dict(mesh.shape)}")
     data_iter = iter(ds)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..nn import FP32, QAT
 from ..optim import adam, qadam, set_warmup
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_dp_mesh, replicate, shard_batch
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from .data import AlignedDataset, UnalignedDataset, SyntheticPairs
@@ -108,7 +108,7 @@ def train_pix2pix(cfg: GANConfig, logger):
     # dp mesh over both nets — the reference DataParallels every net through
     # init_net (networks.py:207-208); here the states replicate and the batch
     # shards over 'dp' (1-device fast path skips sharding).
-    mesh = make_mesh()
+    mesh = make_dp_mesh(cfg.batch_size)
     g_state, d_state = replicate(g_state, mesh), replicate(d_state, mesh)
 
     def run_phase(mode, epochs, tag):
@@ -158,7 +158,7 @@ def train_cyclegan(cfg: GANConfig, logger):
     # dp mesh over all four nets (reference init_net DataParallel,
     # networks.py:207-208); the ImagePool stays host-side and its samples
     # re-shard on the way back in.
-    mesh = make_mesh()
+    mesh = make_dp_mesh(cfg.batch_size)
     gA, gB, dA, dB = (replicate(s, mesh) for s in (gA, gB, dA, dB))
     joint_opt_state = replicate(joint_opt_state, mesh)
 

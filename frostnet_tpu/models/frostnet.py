@@ -138,7 +138,8 @@ class CascadePreExBottleneck(fnn.Module):
             h=h, w=w, cin=cin, cout=self.out_channels,
             kernel=self.kernel_size, stride=self.strides,
             has_squeeze=has_squeeze, has_expand=has_expand,
-            c_sq=r_channels if has_squeeze else 0, c_e=e, residual=residual)
+            c_sq=r_channels if has_squeeze else 0, c_e=e, residual=residual,
+            act_qmax=self.qconfig.activation.qmax)
         bt = pick_batch_tile(spec, b)
         if bt is None:
             return None  # does not fit VMEM — caller falls back to unfused

@@ -74,6 +74,8 @@ class FrostBlockSpec:
     c_sq: int              # squeeze channels (0 when not has_squeeze)
     c_e: int               # depthwise width (expanded channels)
     residual: bool
+    act_qmax: int = 255    # activation grid max: 255 qnnpack, 127 fbgemm
+                           # (reduce_range) — quant/qtypes.py
 
     @property
     def pad(self) -> int:
@@ -85,10 +87,10 @@ class FrostBlockSpec:
         return ((self.h + 2 * p - k) // s + 1, (self.w + 2 * p - k) // s + 1)
 
 
-def _requant(q, s_in, z_in, s_out, z_out):
+def _requant(q, s_in, z_in, s_out, z_out, qmax):
     """u8-grid -> u8-grid requant (QCat/QAdd input semantics), f32 carrier."""
     y = (q - z_in) * s_in
-    return jnp.clip(jnp.round(y / s_out) + z_out, 0.0, 255.0)
+    return jnp.clip(jnp.round(y / s_out) + z_out, 0.0, qmax)
 
 
 def _to_s8(q_f32):
@@ -104,13 +106,14 @@ def _dot_s8(x8, w_ref):
     )
 
 
-def _epilogue(acc, z_in_i32, wsum_ref, scale_ref, bias_ref, s_out, z_out, relu):
+def _epilogue(acc, z_in_i32, wsum_ref, scale_ref, bias_ref, s_out, z_out, relu,
+              qmax):
     """int32 accumulator -> u8-grid f32 value (conv requant epilogue)."""
     acc = acc + (128 - z_in_i32) * wsum_ref[:]
     y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
     if relu:
         y = jnp.maximum(y, 0.0)
-    return jnp.clip(jnp.round(y / s_out) + z_out, 0.0, 255.0)
+    return jnp.clip(jnp.round(y / s_out) + z_out, 0.0, qmax)
 
 
 def _make_kernel(spec: FrostBlockSpec, bt: int):
@@ -127,6 +130,7 @@ def _make_kernel(spec: FrostBlockSpec, bt: int):
         sf = [sf_ref[0, i] for i in range(7)]
         zi = [zi_ref[0, i] for i in range(7)]
         z_x = zi[_IX]
+        qmax = float(spec.act_qmax)
         m = bt * spec.h * spec.w
 
         # u8 grid, f32 carrier (Mosaic has no u8->f32 cast; hop through i32)
@@ -138,19 +142,20 @@ def _make_kernel(spec: FrostBlockSpec, bt: int):
             if spec.has_squeeze:
                 acc_s = _dot_s8(_to_s8(qx2), sq_w)
                 q_s = _epilogue(acc_s, z_x, sq_ws, sq_sc, sq_b,
-                                sf[_ISQ], zi[_ISQ].astype(jnp.float32), True)
+                                sf[_ISQ], zi[_ISQ].astype(jnp.float32), True,
+                                qmax)
                 # both cat halves requant to the cat observer's grid
                 q_ca = _requant(q_s, sf[_ISQ], zi[_ISQ].astype(jnp.float32),
-                                sf[_ICAT], zi[_ICAT].astype(jnp.float32))
+                                sf[_ICAT], zi[_ICAT].astype(jnp.float32), qmax)
                 q_cb = _requant(qx2, sf[_IX], z_x.astype(jnp.float32),
-                                sf[_ICAT], zi[_ICAT].astype(jnp.float32))
+                                sf[_ICAT], zi[_ICAT].astype(jnp.float32), qmax)
                 acc_e = _dot_s8(_to_s8(q_ca), ex_wa) + _dot_s8(_to_s8(q_cb), ex_wb)
                 z_in_e = zi[_ICAT]
             else:
                 acc_e = _dot_s8(_to_s8(qx2), ex_wa)
                 z_in_e = z_x
             q_e = _epilogue(acc_e, z_in_e, ex_ws, ex_sc, ex_b,
-                            sf[_IE], zi[_IE].astype(jnp.float32), True)
+                            sf[_IE], zi[_IE].astype(jnp.float32), True, qmax)
             z_dwin = zi[_IE]
             s_dwin_idx = _IE
         else:
@@ -199,20 +204,20 @@ def _make_kernel(spec: FrostBlockSpec, bt: int):
         y_d = acc_d * dw_sc[:] + dw_b[:]
         y_d = jnp.maximum(y_d, 0.0)
         q_d = jnp.clip(jnp.round(y_d / sf[_ID]) + zi[_ID].astype(jnp.float32),
-                       0.0, 255.0)
+                       0.0, qmax)
 
         # ---- reduce 1x1 -----------------------------------------------------
         mo = bt * ho * wo
         acc_r = _dot_s8(_to_s8(q_d.reshape(mo, spec.c_e)), rd_w)
         q_r = _epilogue(acc_r, zi[_ID], rd_ws, rd_sc, rd_b,
-                        sf[_IR], zi[_IR].astype(jnp.float32), False)
+                        sf[_IR], zi[_IR].astype(jnp.float32), False, qmax)
 
         # ---- residual QAdd --------------------------------------------------
         if spec.residual:
             xf = (qx2 - z_x.astype(jnp.float32)) * sf[_IX]
             rf = (q_r - zi[_IR].astype(jnp.float32)) * sf[_IR]
             q_o = jnp.clip(jnp.round((xf + rf) / sf[_IADD])
-                           + zi[_IADD].astype(jnp.float32), 0.0, 255.0)
+                           + zi[_IADD].astype(jnp.float32), 0.0, qmax)
         else:
             q_o = q_r
         out_ref[:] = (q_o.reshape(bt, ho, wo, spec.cout)
@@ -384,6 +389,7 @@ def reference_frost_block_int8(x_q, params: FrostBlockInt8Params,
     """The op-by-op XLA composition the model's INT8 path executes."""
     sf = np.asarray(params.scales_f32)
     zi = np.asarray(params.zps_i32)
+    qmax = spec.act_qmax
 
     def conv1x1(q, z_in, w2, ws, sc, b, s_out, z_out, relu):
         m = q.shape[0] * q.shape[1] * q.shape[2]
@@ -395,12 +401,12 @@ def reference_frost_block_int8(x_q, params: FrostBlockInt8Params,
         y = acc.astype(jnp.float32) * sc + b
         if relu:
             y = jnp.maximum(y, 0.0)
-        out = jnp.clip(jnp.round(y / s_out) + float(z_out), 0, 255)
+        out = jnp.clip(jnp.round(y / s_out) + float(z_out), 0, qmax)
         return out.astype(jnp.uint8).reshape(q.shape[:3] + (-1,))
 
     def requant_u8(q, s_in, z_in, s_out, z_out):
         y = (q.astype(jnp.float32) - float(z_in)) * s_in
-        return jnp.clip(jnp.round(y / s_out) + float(z_out), 0, 255).astype(jnp.uint8)
+        return jnp.clip(jnp.round(y / s_out) + float(z_out), 0, qmax).astype(jnp.uint8)
 
     h = x_q
     if spec.has_expand:
@@ -434,7 +440,7 @@ def reference_frost_block_int8(x_q, params: FrostBlockInt8Params,
     acc = acc - (int(z_dwin) - 128) * jnp.sum(qw.astype(jnp.int32), axis=(0, 1, 2))
     y = acc.astype(jnp.float32) * params.dw_sc + params.dw_b
     y = jnp.maximum(y, 0.0)
-    q_d = jnp.clip(jnp.round(y / sf[_ID]) + float(zi[_ID]), 0, 255).astype(jnp.uint8)
+    q_d = jnp.clip(jnp.round(y / sf[_ID]) + float(zi[_ID]), 0, qmax).astype(jnp.uint8)
 
     q_r = conv1x1(q_d, zi[_ID], params.rd_w, params.rd_ws,
                   params.rd_sc, params.rd_b, sf[_IR], zi[_IR], False)
@@ -442,5 +448,5 @@ def reference_frost_block_int8(x_q, params: FrostBlockInt8Params,
         xf = (x_q.astype(jnp.float32) - float(zi[_IX])) * sf[_IX]
         rf = (q_r.astype(jnp.float32) - float(zi[_IR])) * sf[_IR]
         return jnp.clip(jnp.round((xf + rf) / sf[_IADD]) + float(zi[_IADD]),
-                        0, 255).astype(jnp.uint8)
+                        0, qmax).astype(jnp.uint8)
     return q_r

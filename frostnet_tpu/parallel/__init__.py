@@ -1,6 +1,7 @@
 """Device-mesh parallelism (replaces torch.nn.DataParallel and the custom
 DataParallelModel/DataParallelCriteria wrappers — SURVEY.md §2.7/§2.8)."""
 from .mesh import (
+    make_dp_mesh,
     make_mesh,
     shard_batch,
     replicate,
@@ -11,6 +12,7 @@ from .mesh import (
 from . import multihost
 
 __all__ = [
+    "make_dp_mesh",
     "make_mesh",
     "shard_batch",
     "replicate",

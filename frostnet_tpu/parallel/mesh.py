@@ -42,6 +42,22 @@ def make_mesh(
     return Mesh(arr, ("dp", "mp"))
 
 
+def make_dp_mesh(batch_size: int, devices: Optional[Sequence] = None) -> Mesh:
+    """A pure-dp mesh whose size evenly divides ``batch_size``.
+
+    ``shard_batch`` needs the leading dim divisible by the dp axis; torch's
+    DataParallel (which the reference GAN/detection trainers rely on)
+    silently scatters over fewer GPUs when the batch is small. Same policy:
+    use gcd(batch, n_devices) devices — batch_size=1 degrades to the
+    single-device fast path instead of raising on the first batch.
+    """
+    import math
+
+    devices = list(devices if devices is not None else jax.devices())
+    dp = math.gcd(max(int(batch_size), 1), len(devices))
+    return make_mesh(dp=dp, devices=devices[:dp])
+
+
 def _single_device(mesh: Mesh) -> bool:
     # On a 1-device mesh, NamedSharding buys nothing — and on the axon
     # platform, sharding-annotated single-chip programs execute ~1000x

@@ -71,7 +71,8 @@ def resolve_dataset_defaults(cfg: SegConfig) -> SegConfig:
     """The reference fixes crop/classes per dataset (train.py:39-66):
     pascal -> 512 crop, 21 classes; city -> 768 crop, 19 classes."""
     if cfg.dataset == "pascal":
-        cfg.num_classes = VOCSegmentation.NUM_CLASSES
+        if cfg.num_classes == 19:  # untouched city default
+            cfg.num_classes = VOCSegmentation.NUM_CLASSES
         if cfg.crop_size == 768:  # untouched city default
             cfg.crop_size = 512
     return cfg

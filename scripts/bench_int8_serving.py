@@ -66,11 +66,14 @@ def main():
     args = p.parse_args()
 
     from frostnet_tpu.models import create_model
-    from frostnet_tpu.nn import FP32, QAT_FROZEN, INT8
+    from frostnet_tpu.nn import FP32, QAT, QAT_FROZEN, INT8
 
     model = create_model(args.model, num_classes=1000, dtype=jnp.bfloat16)
     x = jnp.zeros((args.batch, args.image, args.image, 3), jnp.float32)
-    variables = jax.jit(lambda k, i: model.init(k, i, mode=QAT_FROZEN))(
+    # init with mode=QAT, train=True so every collection materializes
+    # (the CLAUDE.md init invariant; QAT_FROZEN init happens to work today
+    # but only because blocks declare observers unconditionally)
+    variables = jax.jit(lambda k, i: model.init(k, i, mode=QAT, train=True))(
         jax.random.PRNGKey(0), x)
 
     fused_model = None

@@ -12,29 +12,33 @@ from frostnet_tpu.ops.pallas_frost_block import (
 )
 
 
-def _rand_conv(rng, cin, cout, k=1):
+def _rand_conv(rng, cin, cout, k=1, qmax=255):
     qw = rng.randint(-127, 128, (k, k, cin if k == 1 else 1, cout), np.int8)
     scale = (rng.rand(cout).astype(np.float32) * 1e-3 + 1e-4)
     bias = rng.randn(cout).astype(np.float32) * 0.05
     out_s = np.float32(rng.rand() * 0.05 + 0.01)
-    out_zp = np.int32(rng.randint(0, 255))
+    out_zp = np.int32(rng.randint(0, qmax))
     return qw, scale, bias, out_s, out_zp
 
 
 def _make_case(spec: FrostBlockSpec, batch, seed=0):
     rng = np.random.RandomState(seed)
-    x_q = jnp.asarray(rng.randint(0, 256, (batch, spec.h, spec.w, spec.cin),
-                                  np.uint8))
+    qmax = spec.act_qmax
+    x_q = jnp.asarray(rng.randint(0, qmax + 1,
+                                  (batch, spec.h, spec.w, spec.cin), np.uint8))
     c_cat = spec.c_sq + spec.cin if spec.has_squeeze else spec.cin
     params = build_params(
         spec,
-        x_scale=np.float32(0.02), x_zp=np.int32(114),
-        sq=_rand_conv(rng, spec.cin, spec.c_sq) if spec.has_squeeze else None,
-        cat=(np.float32(0.018), np.int32(120)) if spec.has_squeeze else None,
-        ex=_rand_conv(rng, c_cat, spec.c_e) if spec.has_expand else None,
-        dw=_rand_conv(rng, 1, spec.c_e, k=spec.kernel),
-        rd=_rand_conv(rng, spec.c_e, spec.cout),
-        add=(np.float32(0.03), np.int32(100)) if spec.residual else None,
+        x_scale=np.float32(0.02), x_zp=np.int32(114 if qmax > 127 else 60),
+        sq=(_rand_conv(rng, spec.cin, spec.c_sq, qmax=qmax)
+            if spec.has_squeeze else None),
+        cat=((np.float32(0.018), np.int32(min(120, qmax - 7)))
+             if spec.has_squeeze else None),
+        ex=(_rand_conv(rng, c_cat, spec.c_e, qmax=qmax)
+            if spec.has_expand else None),
+        dw=_rand_conv(rng, 1, spec.c_e, k=spec.kernel, qmax=qmax),
+        rd=_rand_conv(rng, spec.c_e, spec.cout, qmax=qmax),
+        add=((np.float32(0.03), np.int32(100)) if spec.residual else None),
     )
     return x_q, params
 
@@ -56,6 +60,10 @@ CASES = [
     FrostBlockSpec(h=32, w=32, cin=16, cout=16, kernel=3, stride=1,
                    has_squeeze=False, has_expand=False, c_sq=0, c_e=16,
                    residual=True),
+    # fbgemm reduce_range activations: every clamp must cut at 127, not 255
+    FrostBlockSpec(h=14, w=14, cin=96, cout=96, kernel=5, stride=1,
+                   has_squeeze=True, has_expand=True, c_sq=24, c_e=360,
+                   residual=True, act_qmax=127),
 ]
 
 
@@ -71,16 +79,19 @@ def test_fused_block_bit_exact(spec):
     np.testing.assert_array_equal(got, want)
 
 
-def test_model_fused_matches_unfused():
+@pytest.mark.parametrize("backend", ["qnnpack", "fbgemm"])
+def test_model_fused_matches_unfused(backend):
     """FrostNet(fuse_int8=True) INT8 logits are bit-identical to the unfused
     INT8 path on the same calibrated variables (the wiring contract:
-    models/frostnet.py CascadePreExBottleneck._fused_int8)."""
+    models/frostnet.py CascadePreExBottleneck._fused_int8) — for both the
+    per-tensor u8[0,255] qnnpack grid and fbgemm's reduce_range [0,127]."""
     import jax
 
     from frostnet_tpu import nn as fnn_q
     from frostnet_tpu.models import create_model
+    from frostnet_tpu.quant import get_qconfig
 
-    kw = dict(num_classes=10)
+    kw = dict(num_classes=10, qconfig=get_qconfig(backend))
     plain = create_model("frostnet_quant_small_0_35", **kw)
     fused = create_model("frostnet_quant_small_0_35", fuse_int8=True, **kw)
 
