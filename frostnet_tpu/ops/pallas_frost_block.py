@@ -450,3 +450,40 @@ def reference_frost_block_int8(x_q, params: FrostBlockInt8Params,
         return jnp.clip(jnp.round((xf + rf) / sf[_IADD]) + float(zi[_IADD]),
                         0, qmax).astype(jnp.uint8)
     return q_r
+
+
+def _random_conv(rng, cin, cout, k=1, qmax=255):
+    """Random calibrated conv operands on realistic scale magnitudes."""
+    qw = rng.randint(-127, 128, (k, k, cin if k == 1 else 1, cout), np.int8)
+    scale = (rng.rand(cout).astype(np.float32) * 1e-3 + 1e-4)
+    bias = rng.randn(cout).astype(np.float32) * 0.05
+    out_s = np.float32(rng.rand() * 0.05 + 0.01)
+    out_zp = np.int32(rng.randint(0, qmax))
+    return qw, scale, bias, out_s, out_zp
+
+
+def random_block_case(spec: FrostBlockSpec, batch: int, seed: int = 0):
+    """(x_q, params) with random weights/qparams for ``spec`` — the one
+    fixture shared by tests/test_pallas_frost_block.py and
+    scripts/probe_frost_block.py so the operand format stays in lockstep
+    with :func:`build_params`. Respects ``spec.act_qmax`` (fbgemm
+    reduce_range grids stay within [0, 127])."""
+    rng = np.random.RandomState(seed)
+    qmax = spec.act_qmax
+    x_q = jnp.asarray(rng.randint(0, qmax + 1,
+                                  (batch, spec.h, spec.w, spec.cin), np.uint8))
+    c_cat = spec.c_sq + spec.cin if spec.has_squeeze else spec.cin
+    params = build_params(
+        spec,
+        x_scale=np.float32(0.02), x_zp=np.int32(114 if qmax > 127 else 60),
+        sq=(_random_conv(rng, spec.cin, spec.c_sq, qmax=qmax)
+            if spec.has_squeeze else None),
+        cat=((np.float32(0.018), np.int32(min(120, qmax - 7)))
+             if spec.has_squeeze else None),
+        ex=(_random_conv(rng, c_cat, spec.c_e, qmax=qmax)
+            if spec.has_expand else None),
+        dw=_random_conv(rng, 1, spec.c_e, k=spec.kernel, qmax=qmax),
+        rd=_random_conv(rng, spec.c_e, spec.cout, qmax=qmax),
+        add=((np.float32(0.03), np.int32(100)) if spec.residual else None),
+    )
+    return x_q, params

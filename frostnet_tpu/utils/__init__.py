@@ -4,6 +4,7 @@ from .metrics import topk_accuracy, confusion_matrix, miou_from_confusion, Avera
 from .checkpoint import save_checkpoint, restore_checkpoint
 from .logging import MetricLogger
 from .flops import count_params, compute_flops, model_flops_params
+from .profiling import StepTimer, chain_time, device_memory_stats, trace
 
 __all__ = [
     "cross_entropy",
@@ -20,4 +21,8 @@ __all__ = [
     "count_params",
     "compute_flops",
     "model_flops_params",
+    "StepTimer",
+    "chain_time",
+    "device_memory_stats",
+    "trace",
 ]

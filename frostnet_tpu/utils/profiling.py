@@ -2,6 +2,7 @@
 
 The reference has wall-clock timers only (SURVEY.md §5.1). Here:
   * :class:`StepTimer` — steady-state step timing with device sync;
+  * :func:`chain_time` — the repo's one honest micro/serving timing helper;
   * :func:`trace` — context manager around jax.profiler (perfetto/tensorboard
     trace of the XLA timeline, the real TPU tracing story);
   * :func:`device_memory_stats` — per-device HBM usage snapshot.
@@ -13,6 +14,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 class StepTimer:
@@ -37,6 +39,56 @@ class StepTimer:
     @property
     def mean_s(self) -> float:
         return self.total / max(self.count, 1)
+
+
+def chain_time(fn, x, *rest, steps: int = 10, inner: int = 1, reps: int = 3,
+               feedback: str = "element") -> float:
+    """Honestly time ``fn(x, *rest)`` on this transport; returns s/call.
+
+    On the axon transport ``jax.block_until_ready`` returns BEFORE execution
+    finishes (CLAUDE.md), so naive loops measure dispatch. This helper chains
+    ``steps * inner`` serialized calls on device inside one jitted program and
+    reads back ONE scalar that data-depends on the final call — the only
+    timing methodology that has survived audit in this repo. ``inner``
+    unrolled calls per ``fori_loop`` iteration amortize the transport's
+    ~0.9 ms/iteration floor.
+
+    ``feedback`` picks how each call's output feeds the next input:
+      * ``"full"`` — the output IS the next input (requires output shape ==
+        input shape). Immune to XLA dead-code narrowing; use for same-shape
+        op probes (XLA narrows a conv whose output is only sliced — measured,
+        CLAUDE.md).
+      * ``"element"`` — one output element is folded back into the carry
+        (``carry + (y[0]*0)``) so shapes may differ (whole models, blocks).
+        The full output still reaches the final readback via the last call.
+
+    Best-of-``reps`` is returned; callers printing results should label them
+    best-of-N (ADVICE round 2).
+    """
+    if feedback not in ("full", "element"):
+        raise ValueError(feedback)
+
+    def chained(x0, rest_):
+        def body(i, carry):
+            for _ in range(inner):
+                if feedback == "full":
+                    carry = fn(carry, *rest_)
+                else:
+                    y = fn(carry, *rest_)
+                    carry = carry + (y.reshape(-1)[0] * 0).astype(carry.dtype)
+            return carry
+        final = jax.lax.fori_loop(0, steps, body, x0)
+        return fn(final, *rest_).reshape(-1)[0].astype(jnp.float32)
+
+    cfn = jax.jit(chained)
+    v = float(cfn(x, rest))  # compile + warm
+    assert v == v, "nan from timed fn"
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(cfn(x, rest))
+        best = min(best, time.perf_counter() - t0)
+    return best / (steps * inner + 1)
 
 
 @contextlib.contextmanager

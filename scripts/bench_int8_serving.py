@@ -12,7 +12,6 @@ Run serially (one TPU process at a time):  python scripts/bench_int8_serving.py
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,29 +25,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def chain_time(fn, x, steps, reps=3):
-    """Chained execution: out feeds back via a data dependency; one readback."""
-
-    def chained(x0):
-        def body(i, carry):
-            y = fn(carry)
-            # fold the output back into an input-shaped tensor (cheap) so
-            # iterations serialize on device
-            return carry * 0 + jnp.mean(y).astype(carry.dtype)
-
-        final = jax.lax.fori_loop(0, steps, body, x0)
-        return jnp.sum(fn(final))
-
-    cfn = jax.jit(chained)
-    _ = float(cfn(x))  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        v = float(cfn(x))
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        assert v == v, "nan"
-    return best / (steps + 1)
+from frostnet_tpu.utils.profiling import chain_time  # noqa: E402
 
 
 def main():
@@ -106,7 +83,7 @@ def main():
             bytes_ = cost.get("bytes accessed", 0.0)
             print(f"{name}: flops/img={flops/args.batch/1e6:.1f}M "
                   f"bytes/img={bytes_/args.batch/1e6:.2f}MB", flush=True)
-        dt = chain_time(fn, x, args.steps)
+        dt = chain_time(fn, x, steps=args.steps)
         print(f"{name}: {args.batch/dt:,.0f} img/s  ({dt*1e3:.2f} ms/batch)",
               flush=True)
 

@@ -9,7 +9,6 @@ to justify a Pallas VPU depthwise kernel.
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/bench_cache/jax")
@@ -22,21 +21,13 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def chain_time(op, x, steps=30, reps=3, tag=""):
-    def chained(x0):
-        def body(i, carry):
-            return op(carry)
-        y = jax.lax.fori_loop(0, steps, body, x0)
-        return y.reshape(-1)[0].astype(jnp.float32)
+from frostnet_tpu.utils.profiling import chain_time as _chain_time
 
-    cfn = jax.jit(chained)
-    float(cfn(x))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(cfn(x))
-        best = min(best, time.perf_counter() - t0)
-    per = best / steps
+
+def chain_time(op, x, steps=30, reps=3, tag=""):
+    # feedback="full": the whole output is the next input, so XLA cannot
+    # narrow the op under test (see utils/profiling.chain_time).
+    per = _chain_time(op, x, steps=steps, reps=reps, feedback="full")
     print(f"{tag}: {per*1e6:.0f} us/op", flush=True)
     return per
 

@@ -8,7 +8,6 @@ Representative frostnet_large_1_0 shapes at bs128. Honest chained timing
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/bench_cache/jax")
@@ -20,25 +19,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-
-def timeit(fn, args, steps=30, reps=3):
-    # data-dependency chain via a single output element (not a full-tensor
-    # reduction, which costs as much bandwidth as the op under test)
-    def chained(a0, rest):
-        def body(i, carry):
-            y = fn(carry, *rest)
-            return carry + (y.reshape(-1)[0] * 0).astype(carry.dtype)
-        final = jax.lax.fori_loop(0, steps, body, a0)
-        return fn(final, *rest).reshape(-1)[0].astype(jnp.float32)
-
-    cfn = jax.jit(chained)
-    _ = float(cfn(args[0], args[1:]))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(cfn(args[0], args[1:]))
-        best = min(best, time.perf_counter() - t0)
-    return best / (steps + 1)
+from frostnet_tpu.utils.profiling import chain_time
 
 
 def conv(x, w, groups=1, out_dtype=None):
@@ -61,8 +42,10 @@ def main():
     x8 = jax.random.randint(key, (B, 14, 14, 136), -127, 127, jnp.int8)
     w8 = jax.random.randint(key, (1, 1, 136, 816), -127, 127, jnp.int8)
 
-    t_bf = timeit(lambda x, w: conv(x, w, out_dtype=jnp.float32), (xb, wb))
-    t_s8 = timeit(lambda x, w: conv(x, w, out_dtype=jnp.int32), (x8, w8))
+    t_bf = chain_time(lambda x, w: conv(x, w, out_dtype=jnp.float32), xb, wb,
+                      steps=30)
+    t_s8 = chain_time(lambda x, w: conv(x, w, out_dtype=jnp.int32), x8, w8,
+                      steps=30)
     print(f"1x1 136->816 @14x14: bf16 {t_bf*1e6:.0f} us, s8 {t_s8*1e6:.0f} us "
           f"(ratio {t_bf/t_s8:.2f}x)", flush=True)
 
@@ -73,7 +56,7 @@ def main():
         y = jnp.clip(jnp.round(y / 0.05), 0, 255).astype(jnp.uint8)
         return y
 
-    t_rq = timeit(s8_requant, (x8, w8))
+    t_rq = chain_time(s8_requant, x8, w8, steps=30)
     print(f"  + requant epilogue: {t_rq*1e6:.0f} us (epilogue adds "
           f"{(t_rq-t_s8)*1e6:.0f} us)", flush=True)
 
@@ -82,10 +65,12 @@ def main():
     wdb = jax.random.normal(key, (5, 5, 1, 408), jnp.bfloat16)
     xd8 = jax.random.randint(key, (B, 28, 28, 408), -127, 127, jnp.int8)
     wd8 = jax.random.randint(key, (5, 5, 1, 408), -127, 127, jnp.int8)
-    t_dwb = timeit(lambda x, w: conv(x, w, groups=408, out_dtype=jnp.float32),
-                   (xdb, wdb))
-    t_dw8 = timeit(lambda x, w: conv(x, w, groups=408, out_dtype=jnp.int32),
-                   (xd8, wd8))
+    t_dwb = chain_time(lambda x, w: conv(x, w, groups=408,
+                                         out_dtype=jnp.float32),
+                       xdb, wdb, steps=30)
+    t_dw8 = chain_time(lambda x, w: conv(x, w, groups=408,
+                                         out_dtype=jnp.int32),
+                       xd8, wd8, steps=30)
     print(f"dw 5x5 @28x28x408: bf16 {t_dwb*1e6:.0f} us, s8 {t_dw8*1e6:.0f} us "
           f"(ratio {t_dwb/t_dw8:.2f}x)", flush=True)
 
@@ -101,8 +86,8 @@ def main():
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=od)
 
-    t_sb = timeit(lambda x, w: stem(x, w, jnp.float32), (xs, ws))
-    t_s8s = timeit(lambda x, w: stem(x, w, jnp.int32), (xs8, ws8))
+    t_sb = chain_time(lambda x, w: stem(x, w, jnp.float32), xs, ws, steps=30)
+    t_s8s = chain_time(lambda x, w: stem(x, w, jnp.int32), xs8, ws8, steps=30)
     print(f"stem 3x3s2 @224: bf16 {t_sb*1e6:.0f} us, s8 {t_s8s*1e6:.0f} us",
           flush=True)
 

@@ -9,7 +9,6 @@
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/bench_cache/jax")
@@ -24,6 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from frostnet_tpu.ops.pallas_int8_matmul import (
     int8_matmul_requant, reference_int8_matmul_requant)
+from frostnet_tpu.utils.profiling import chain_time
 
 
 def make_args(m, k, n, seed=0):
@@ -33,29 +33,6 @@ def make_args(m, k, n, seed=0):
     scale = jnp.asarray(rng.rand(n).astype(np.float32) * 1e-3 + 1e-4)
     bias = jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
     return x8, w8, scale, bias, jnp.float32(0.02), jnp.float32(7.0)
-
-
-def timeit(fn, x8, rest, steps=10, inner=16, reps=3):
-    # chain: feed one output byte back into the input so ops serialize; the
-    # transport has a ~0.9 ms/fori-iteration floor, so run `inner` serialized
-    # ops per iteration to amortize it.
-    def chained(x0):
-        def body(i, carry):
-            for _ in range(inner):
-                y = fn(carry, *rest)
-                carry = carry + (y[0, 0] * 0).astype(carry.dtype)
-            return carry
-        final = jax.lax.fori_loop(0, steps, body, x0)
-        return fn(final, *rest)[0, 0].astype(jnp.float32)
-
-    cfn = jax.jit(chained)
-    _ = float(cfn(x8))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(cfn(x8))
-        best = min(best, time.perf_counter() - t0)
-    return best / (steps * inner + 1)
 
 
 def main():
@@ -81,8 +58,10 @@ def main():
     ]
     for name, m, k, n in shapes:
         xa = make_args(m, k, n)
-        tx = timeit(reference_int8_matmul_requant, xa[0], xa[1:])
-        tp = timeit(int8_matmul_requant, xa[0], xa[1:])
+        tx = chain_time(reference_int8_matmul_requant, xa[0], *xa[1:],
+                steps=10, inner=16)
+        tp = chain_time(int8_matmul_requant, xa[0], *xa[1:],
+                steps=10, inner=16)
         gbytes = (m * k + k * n + m * n) / 1e9
         print(f"{name:28s} M={m:6d} K={k:4d} N={n:4d}  "
               f"xla {tx*1e3:7.3f} ms ({gbytes/tx:6.1f} GB/s)  "

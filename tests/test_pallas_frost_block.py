@@ -1,46 +1,14 @@
 """Fused INT8 Frost-block Pallas kernel: bit-exact vs the unfused XLA chain."""
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from frostnet_tpu.ops.pallas_frost_block import (
     FrostBlockSpec,
-    build_params,
     frost_block_int8,
     pick_batch_tile,
+    random_block_case,
     reference_frost_block_int8,
 )
-
-
-def _rand_conv(rng, cin, cout, k=1, qmax=255):
-    qw = rng.randint(-127, 128, (k, k, cin if k == 1 else 1, cout), np.int8)
-    scale = (rng.rand(cout).astype(np.float32) * 1e-3 + 1e-4)
-    bias = rng.randn(cout).astype(np.float32) * 0.05
-    out_s = np.float32(rng.rand() * 0.05 + 0.01)
-    out_zp = np.int32(rng.randint(0, qmax))
-    return qw, scale, bias, out_s, out_zp
-
-
-def _make_case(spec: FrostBlockSpec, batch, seed=0):
-    rng = np.random.RandomState(seed)
-    qmax = spec.act_qmax
-    x_q = jnp.asarray(rng.randint(0, qmax + 1,
-                                  (batch, spec.h, spec.w, spec.cin), np.uint8))
-    c_cat = spec.c_sq + spec.cin if spec.has_squeeze else spec.cin
-    params = build_params(
-        spec,
-        x_scale=np.float32(0.02), x_zp=np.int32(114 if qmax > 127 else 60),
-        sq=(_rand_conv(rng, spec.cin, spec.c_sq, qmax=qmax)
-            if spec.has_squeeze else None),
-        cat=((np.float32(0.018), np.int32(min(120, qmax - 7)))
-             if spec.has_squeeze else None),
-        ex=(_rand_conv(rng, c_cat, spec.c_e, qmax=qmax)
-            if spec.has_expand else None),
-        dw=_rand_conv(rng, 1, spec.c_e, k=spec.kernel, qmax=qmax),
-        rd=_rand_conv(rng, spec.c_e, spec.cout, qmax=qmax),
-        add=((np.float32(0.03), np.int32(100)) if spec.residual else None),
-    )
-    return x_q, params
 
 
 CASES = [
@@ -72,7 +40,7 @@ CASES = [
     f"_k{s.kernel}s{s.stride}{'r' if s.residual else ''}"))
 def test_fused_block_bit_exact(spec):
     batch = 4
-    x_q, params = _make_case(spec, batch, seed=hash(spec) % 2**31)
+    x_q, params = random_block_case(spec, batch, seed=hash(spec) % 2**31)
     want = np.asarray(reference_frost_block_int8(x_q, params, spec))
     got = np.asarray(frost_block_int8(x_q, params, spec, bt=2, interpret=True))
     assert want.shape == got.shape
