@@ -85,3 +85,55 @@ def test_size_mismatch_raises_without_resize(tmp_path):
     with pytest.raises(ValueError, match="size mismatch"):
         combine.main(str(fa), str(fb), str(tmp_path / "o"))
     assert combine.main(str(fa), str(fb), str(tmp_path / "o"), resize_b=True) == 1
+
+
+def test_prepare_cityscapes_pix2pix(tmp_path):
+    """Cityscapes gtFine/leftImg8bit trees -> aligned photo|segmap pairs +
+    cyclegan A/B dirs (reference prepare_cityscapes_dataset.py:28-66)."""
+    from PIL import Image
+
+    _spec2 = importlib.util.spec_from_file_location(
+        "prepare_cityscapes_pix2pix",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "prepare_cityscapes_pix2pix.py"))
+    prep = importlib.util.module_from_spec(_spec2)
+    _spec2.loader.exec_module(prep)
+
+    rng = np.random.RandomState(0)
+    gt, li = tmp_path / "gtFine", tmp_path / "leftImg8bit"
+    for phase in ("train", "val"):
+        (gt / phase / "city").mkdir(parents=True)
+        (li / phase / "city").mkdir(parents=True)
+        for i in range(2):
+            stem = f"city_{i:06d}_000019"
+            Image.fromarray(rng.randint(0, 255, (128, 256, 3), np.uint8)).save(
+                gt / phase / "city" / f"{stem}_gtFine_color.png")
+            Image.fromarray(rng.randint(0, 255, (128, 256, 3), np.uint8)).save(
+                li / phase / "city" / f"{stem}_leftImg8bit.png")
+
+    out = tmp_path / "out"
+    assert prep.process_phase(str(gt), str(li), str(out), "train", size=64) == 2
+    assert prep.process_phase(str(gt), str(li), str(out), "val", size=64) == 2
+
+    # train phase -> 'train', val -> 'test'; aligned is 2*size wide
+    pair = Image.open(out / "train" / "0.jpg")
+    assert pair.size == (128, 64)
+    assert Image.open(out / "test" / "1.jpg").size == (128, 64)
+    assert (out / "trainA" / "0_A.jpg").exists()
+    assert (out / "trainB" / "0_B.jpg").exists()
+
+    # the aligned file is consumable by the GAN AlignedDataset
+    from frostnet_tpu.gan.data import AlignedDataset
+
+    ds = AlignedDataset(str(out), phase="train", load_size=64, crop_size=32,
+                       batch_size=1)
+    batch = next(iter(ds))
+    assert batch["A"].shape[-3:] == (32, 32, 3)
+
+    # mismatched pair names raise
+    (gt / "train" / "city" / "zzz_9_gtFine_color.png").write_bytes(
+        (gt / "train" / "city" / "city_000000_000019_gtFine_color.png").read_bytes())
+    (li / "train" / "city" / "aaa_0_leftImg8bit.png").write_bytes(
+        (li / "train" / "city" / "city_000000_000019_leftImg8bit.png").read_bytes())
+    with pytest.raises(ValueError):
+        prep.process_phase(str(gt), str(li), str(out), "train", size=64)

@@ -105,3 +105,37 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = restore_checkpoint(str(tmp_path / "ckpt"), blank)
     assert int(restored.step) == 7
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(4.0))
+
+
+def test_make_dp_mesh_divides_batch():
+    """make_dp_mesh sizes the dp axis to gcd(batch, devices) so the GAN
+    trainers' reference-default batch_size=1 degrades to the single-device
+    fast path instead of raising in shard_batch (torch DataParallel's
+    scatter-over-fewer-GPUs policy)."""
+    from frostnet_tpu.parallel import make_dp_mesh, shard_batch
+
+    n = jax.device_count()
+    assert make_dp_mesh(1).size == 1
+    assert make_dp_mesh(4 * n).size == n
+    odd = make_dp_mesh(3)
+    assert 3 % odd.size == 0
+    # the contract: a batch of that size actually shards
+    x = jnp.zeros((3, 4))
+    y = shard_batch(x, odd)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_chain_time_smoke():
+    """chain_time returns a sane per-call duration in both feedback modes
+    and rejects unknown modes."""
+    import pytest
+
+    from frostnet_tpu.utils.profiling import chain_time
+
+    x = jnp.ones((8, 8), jnp.float32)
+    t_full = chain_time(lambda a: a * 1.0001, x, steps=3, inner=2, reps=1,
+                        feedback="full")
+    t_elem = chain_time(lambda a: a.sum(keepdims=True), x, steps=3, reps=1)
+    assert 0 < t_full < 10 and 0 < t_elem < 10
+    with pytest.raises(ValueError):
+        chain_time(lambda a: a, x, feedback="nope")
