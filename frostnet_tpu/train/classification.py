@@ -64,6 +64,8 @@ class ClassificationConfig:
     lrsch: str = "cos_lr"
     warmup_epochs: int = 0
     warmup_lr: float = 1e-4
+    decay_epochs: float = 30.0   # step_lr: 2.4 in the published recipe
+    decay_rate: float = 0.1      # step_lr gamma: .97 in the published recipe
     label_smoothing: float = 0.0
     ema_decay: float = 0.0       # 0.9999 in the published recipe (training_commands.txt)
     steps_per_epoch: Optional[int] = None  # cap for smoke runs
@@ -166,11 +168,22 @@ def main(cfg: ClassificationConfig):
     model = create_model(cfg.model, num_classes=cfg.num_classes)
 
     total_steps = (cfg.fp_epochs + cfg.epochs) * steps_per_epoch
-    schedule = get_lr_scheduler(
-        cfg.lrsch, base_lr=cfg.learning_rate, total_steps=total_steps,
-        warmup_steps=cfg.warmup_epochs * steps_per_epoch, warmup_lr=cfg.warmup_lr,
-    ) if cfg.lrsch in ("cos_lr", "linear_lr") else get_lr_scheduler(
-        cfg.lrsch, base_lr=cfg.learning_rate, total_steps=total_steps)
+    warmup = dict(warmup_steps=cfg.warmup_epochs * steps_per_epoch,
+                  warmup_lr=cfg.warmup_lr)
+    if cfg.lrsch in ("cos_lr", "linear_lr"):
+        schedule = get_lr_scheduler(
+            cfg.lrsch, base_lr=cfg.learning_rate, total_steps=total_steps,
+            **warmup)
+    elif cfg.lrsch == "step_lr":
+        # the published recipe: --sched step --decay-epochs 2.4 --decay-rate
+        # .97 (training_commands.txt:1-19)
+        schedule = get_lr_scheduler(
+            cfg.lrsch, base_lr=cfg.learning_rate,
+            steps_per_epoch=steps_per_epoch, decay_epochs=cfg.decay_epochs,
+            gamma=cfg.decay_rate, **warmup)
+    else:
+        schedule = get_lr_scheduler(
+            cfg.lrsch, base_lr=cfg.learning_rate, total_steps=total_steps)
     tx = _optimizer(cfg, schedule)
 
     rng = jax.random.PRNGKey(cfg.seed)

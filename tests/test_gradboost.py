@@ -205,6 +205,16 @@ def test_schedules_match_reference_formulas():
     assert abs(float(sched(100)) - 0.1) < 1e-6   # end of warm-up
     assert abs(float(sched(550)) - 0.05) < 1e-3  # cosine midpoint
 
+    # step_lr takes steps_per_epoch (NOT total_steps) — the published
+    # ImageNet recipe's --sched step --decay-epochs 2.4 --decay-rate .97
+    # (training_commands.txt:1-19); fractional decay_epochs must work
+    sched = fopt.get_lr_scheduler("step_lr", base_lr=0.048, steps_per_epoch=10,
+                                  decay_epochs=2.4, gamma=0.97)
+    assert abs(float(sched(0)) - 0.048) < 1e-9            # epoch 0
+    assert abs(float(sched(29)) - 0.048) < 1e-9           # epoch 2 < 2.4
+    assert abs(float(sched(30)) - 0.048 * 0.97) < 1e-8    # epoch 3 >= 2.4
+    assert abs(float(sched(100)) - 0.048 * 0.97 ** 4) < 1e-8  # epoch 10
+
     sched = fopt.get_lr_scheduler("gan_linear", base_lr=2e-4, n_epochs=100, n_epochs_decay=100)
     assert abs(float(sched(50)) - 2e-4) < 1e-9   # flat phase
     assert float(sched(200)) < 2e-6              # decayed to ~0
