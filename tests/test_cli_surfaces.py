@@ -25,6 +25,7 @@ CLIS = [
     "frostnet_tpu.gan.test",
     "frostnet_tpu.gan.eval_cityscapes",
     "frostnet_tpu.serve",
+    "frostnet_tpu.quant.numeric_suite",
 ]
 
 
