@@ -56,7 +56,8 @@ class FolderClassification:
     stack at reference data_functions.py:12-209)."""
 
     def __init__(self, root, image_size=224, batch_size=64, train=True,
-                 seed=0, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+                 seed=0, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                 randaugment=None):
         from PIL import Image  # noqa: F401 - fail early if PIL is missing
         self.root = root
         self.image_size = image_size
@@ -64,6 +65,9 @@ class FolderClassification:
         self.train = train
         self.seed = seed
         self.mean, self.std = mean, std
+        # the published recipe trains with --aa rand-m9-mstd0.5
+        # (training_commands.txt); pass data.RandAugment(...) to enable
+        self.randaugment = randaugment if train else None
         classes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
         self.class_to_idx = {c: i for i, c in enumerate(classes)}
@@ -96,6 +100,8 @@ class FolderClassification:
             x0 = rng.randint(0, w - cw + 1)
             y0 = rng.randint(0, h - ch + 1)
             img = img.crop((x0, y0, x0 + cw, y0 + ch)).resize((s, s))
+            if self.randaugment is not None:
+                img = self.randaugment(np.asarray(img, np.uint8), rng)
             arr = np.asarray(img, np.float32) / 255.0
             if rng.rand() < 0.5:
                 arr = arr[:, ::-1]
@@ -312,10 +318,12 @@ class SVHNClassification:
 
 def build_classification_dataset(name: str, data_dir: str, train: bool,
                                  image_size: int = 224, batch_size: int = 64,
-                                 seed: int = 0):
+                                 seed: int = 0, aa: str = ""):
     """Dataset dispatch over the reference's names (data_functions.py:12-209):
     cifar10/cifar100/svhn/mnist plus any ImageFolder layout (imagenet,
-    imagenet_tiny, ILSVRC2015, ...)."""
+    imagenet_tiny, ILSVRC2015, ...). ``aa`` is a timm-style auto-augment
+    spec ('rand-m9-mstd0.5', the published recipe's --aa) applied to the
+    ImageFolder train path."""
     key = name.lower()
     root = os.path.join(data_dir, key)
     if key == "cifar10":
@@ -327,5 +335,9 @@ def build_classification_dataset(name: str, data_dir: str, train: bool,
     if key == "mnist":
         return MNISTClassification(root, train, batch_size, seed)
     folder = os.path.join(data_dir, name, "train" if train else "val")
+    randaug = None
+    if aa and train:
+        from .randaugment import RandAugment
+        randaug = RandAugment.from_string(aa)
     return FolderClassification(folder, image_size, batch_size, train=train,
-                                seed=seed)
+                                seed=seed, randaugment=randaug)

@@ -60,6 +60,27 @@ class RandAugment:
         self.magnitude = magnitude
         self.magnitude_std = magnitude_std
 
+    @classmethod
+    def from_string(cls, spec: str) -> "RandAugment":
+        """Parse the timm-style spec the published recipe uses:
+        'rand-m9-mstd0.5' (training_commands.txt --aa), optionally with
+        '-n<ops>'."""
+        parts = spec.lower().split("-")
+        if parts[0] != "rand":
+            raise ValueError(f"unsupported auto-augment spec {spec!r} "
+                             "(only rand-* is implemented)")
+        kw = {}
+        for p in parts[1:]:
+            if p.startswith("mstd"):
+                kw["magnitude_std"] = float(p[4:])
+            elif p.startswith("m"):
+                kw["magnitude"] = float(p[1:])
+            elif p.startswith("n"):
+                kw["num_ops"] = int(p[1:])
+            else:
+                raise ValueError(f"unknown token {p!r} in {spec!r}")
+        return cls(**kw)
+
     def __call__(self, img_uint8: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
         from PIL import Image
 

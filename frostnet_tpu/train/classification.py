@@ -66,6 +66,8 @@ class ClassificationConfig:
     warmup_lr: float = 1e-4
     decay_epochs: float = 30.0   # step_lr: 2.4 in the published recipe
     decay_rate: float = 0.1      # step_lr gamma: .97 in the published recipe
+    aa: str = ""                 # auto-augment spec for ImageFolder train,
+                                 # e.g. "rand-m9-mstd0.5" (recipe --aa)
     label_smoothing: float = 0.0
     ema_decay: float = 0.0       # 0.9999 in the published recipe (training_commands.txt)
     steps_per_epoch: Optional[int] = None  # cap for smoke runs
@@ -108,7 +110,8 @@ def _build_dataset(cfg: ClassificationConfig, train: bool):
                           "falling back to the Python loader")
     return build_classification_dataset(
         cfg.dataset, cfg.data_dir, train, image_size=cfg.image_size,
-        batch_size=cfg.batch_size, seed=cfg.seed + (0 if train else 1))
+        batch_size=cfg.batch_size, seed=cfg.seed + (0 if train else 1),
+        aa=cfg.aa)
 
 
 def _optimizer(cfg: ClassificationConfig, schedule):

@@ -103,3 +103,53 @@ def test_registry_dispatch(svhn_dir):
     assert isinstance(ds, SVHNClassification)
     with pytest.raises(FileNotFoundError):
         build_classification_dataset("cifar10", str(svhn_dir), train=True)
+
+
+def test_randaugment_spec_and_determinism(tmp_path):
+    """RandAugment: recipe-spec parsing ('rand-m9-mstd0.5', --aa in
+    training_commands.txt), seeded determinism, every op yields a valid
+    uint8 image, and the ImageFolder train path actually applies it."""
+    import pytest
+
+    from frostnet_tpu.data import RandAugment, build_classification_dataset
+    from frostnet_tpu.data.randaugment import _ops
+
+    ra = RandAugment.from_string("rand-m9-mstd0.5")
+    assert ra.magnitude == 9.0 and ra.magnitude_std == 0.5 and ra.num_ops == 2
+    assert RandAugment.from_string("rand-m5-n3").num_ops == 3
+    with pytest.raises(ValueError):
+        RandAugment.from_string("original-m9")
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (48, 48, 3), np.uint8)
+    # every op in the table runs and preserves shape/dtype
+    for name, op in _ops(9.0).items():
+        from PIL import Image
+        out = np.asarray(op(Image.fromarray(img), rng))
+        assert out.shape == img.shape and out.dtype == np.uint8, name
+    # same seed -> same augmentation; different seed -> (almost surely) not
+    a = ra(img, np.random.RandomState(3))
+    b = ra(img, np.random.RandomState(3))
+    c = ra(img, np.random.RandomState(4))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == img.shape
+    assert not np.array_equal(a, c)
+
+    # wiring: the folder dataset applies it on the train path only
+    from PIL import Image
+    for split in ("train", "val"):
+        d = tmp_path / "mini" / split / "class0"
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 256, (64, 64, 3), np.uint8)).save(
+                d / f"{i}.jpg")
+    ds = build_classification_dataset(
+        "mini", str(tmp_path), train=True, image_size=32, batch_size=2,
+        aa="rand-m9-mstd0.5")
+    assert ds.randaugment is not None
+    batch = next(iter(ds))
+    assert batch["image"].shape == (2, 32, 32, 3)
+    ds_val = build_classification_dataset(
+        "mini", str(tmp_path), train=False, image_size=32, batch_size=2,
+        aa="rand-m9-mstd0.5")
+    assert ds_val.randaugment is None
