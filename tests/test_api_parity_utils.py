@@ -1,0 +1,144 @@
+"""Tests for parity APIs that no trainer exercises directly.
+
+These exist because the reference exposes them (BCE seg-loss branch, box
+center_form, WGAN-GP penalty, FLOPs/param report, dataset presence check) —
+each gets a correctness test so none of them rots as exported-but-untested
+surface.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from frostnet_tpu.detection import center_form, point_form
+from frostnet_tpu.utils.losses import binary_cross_entropy_with_logits
+
+
+def test_bce_with_logits_matches_torch():
+    """SegmentationLoss bce branch (segmentation_loss.py:20-35) numerics."""
+    rng = np.random.RandomState(0)
+    logits = rng.randn(4, 8, 8, 3).astype(np.float32) * 2
+    targets = (rng.rand(4, 8, 8, 3) > 0.5).astype(np.float32)
+    ours = float(binary_cross_entropy_with_logits(jnp.asarray(logits),
+                                                  jnp.asarray(targets)))
+    ref = float(F.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets)))
+    assert abs(ours - ref) < 1e-6
+
+    pw = np.float32(3.0)
+    ours_w = float(binary_cross_entropy_with_logits(
+        jnp.asarray(logits), jnp.asarray(targets), pos_weight=pw))
+    ref_w = float(F.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        pos_weight=torch.tensor(pw)))
+    assert abs(ours_w - ref_w) < 1e-6
+
+
+def test_center_point_form_roundtrip():
+    """box_utils center/point conversions (box_utils.py:17-40) invert each
+    other and match the closed form."""
+    rng = np.random.RandomState(1)
+    cxcywh = np.abs(rng.rand(32, 4)).astype(np.float32) + 0.1
+    xyxy = point_form(jnp.asarray(cxcywh))
+    back = center_form(xyxy)
+    np.testing.assert_allclose(np.asarray(back), cxcywh, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(xyxy[:, 2] - xyxy[:, 0]), cxcywh[:, 2], rtol=1e-5)
+
+
+def test_gradient_penalty_analytic():
+    """WGAN-GP penalty (networks.py:370-403): for D(x) = k*sum(x) the
+    per-sample gradient is constant k, so the penalty is exactly
+    lambda * (k*sqrt(N) - 1)^2, independent of the interpolates."""
+    k = 0.25
+    real = jnp.ones((3, 4, 4, 1))
+    fake = jnp.zeros((3, 4, 4, 1))
+    n = 4 * 4 * 1
+
+    from frostnet_tpu.gan import gradient_penalty
+
+    def d_apply(vars_, x):
+        return k * jnp.sum(x.reshape(x.shape[0], -1), axis=1)
+
+    got = float(gradient_penalty(d_apply, {}, real, fake,
+                                 jax.random.PRNGKey(0), constant=1.0,
+                                 lambda_gp=10.0))
+    want = 10.0 * (k * np.sqrt(n) - 1.0) ** 2
+    assert abs(got - want) < 1e-4
+
+
+def test_wgangp_gan_loss_signs():
+    from frostnet_tpu.gan.networks import gan_loss
+
+    pred = jnp.asarray([[1.0], [3.0]])
+    assert float(gan_loss(pred, True, "wgangp")) == -2.0   # -mean(pred)
+    assert float(gan_loss(pred, False, "wgangp")) == 2.0
+    with pytest.raises(ValueError):
+        gan_loss(pred, True, "nope")
+
+
+def test_model_flops_params_report():
+    """model_flops_params (the reference's compute_flops/model_parameters
+    report, utilities/utils.py:45-62) returns XLA-counted flops and the
+    exact param count."""
+    from frostnet_tpu.models import create_model
+    from frostnet_tpu.utils import count_params, model_flops_params
+
+    model = create_model("frostnet_quant_small_0_35", num_classes=10)
+    flops, params = model_flops_params(model, input_shape=(1, 32, 32, 3))
+    assert flops > 1e6  # a real conv net forward
+    v = jax.eval_shape(lambda k, x: model.init(k, x),
+                       jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    assert params == count_params(
+        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), v)["params"])
+
+
+def test_cross_replica_mean_under_shard_map():
+    """psum-mean helper for shard_map'd code paths (BN stat sync)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from frostnet_tpu.parallel import cross_replica_mean, make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh()
+    x = jnp.arange(8.0)
+
+    @jax.jit
+    def mean_over_dp(x):
+        f = shard_map(lambda v: cross_replica_mean(v, "dp"), mesh=mesh,
+                      in_specs=P("dp"), out_specs=P("dp"))
+        return f(x)
+
+    out = np.asarray(mean_over_dp(x))
+    np.testing.assert_allclose(out, np.full(8, np.arange(8.0).mean()),
+                               rtol=1e-6)
+
+
+def test_download_data_validates_presence(tmp_path):
+    """No-egress stand-in for the reference's auto-download
+    (data_functions.py:12-209): explains instead of failing obscurely."""
+    from frostnet_tpu.data import download_data
+
+    with pytest.raises(FileNotFoundError, match="no network"):
+        download_data("imagenet_tiny", str(tmp_path))
+    (tmp_path / "imagenet_tiny").mkdir()
+    assert download_data("imagenet_tiny", str(tmp_path)) == str(
+        tmp_path / "imagenet_tiny")
+
+
+def test_fake_quantize_observed_composition():
+    """fake_quantize_observed == calculate_qparams + fake_quantize."""
+    from frostnet_tpu.quant import (QNNPACK, ObserverState, calculate_qparams,
+                                    fake_quantize, fake_quantize_observed)
+
+    spec = QNNPACK.activation
+    state = ObserverState(min_val=jnp.asarray(-1.5), max_val=jnp.asarray(2.5))
+    x = jnp.linspace(-2.0, 3.0, 64)
+    scale, zp = calculate_qparams(state, spec)
+    want = fake_quantize(x, scale, zp, spec)
+    got = fake_quantize_observed(x, state, spec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
