@@ -24,6 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # the reference table's rows (Classification/README.md:33-47), our names
 MODELS = [
     "qresnet18",
+    "qshufflenet_v2_x0_5",
     "qshufflenet_v2_x1_0",
     "qmobilenet_v2_ReLU",
     "qmobilenet_v2_ReLU6",
