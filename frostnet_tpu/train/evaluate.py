@@ -83,6 +83,14 @@ def main(args):
                 f"top5={int8.get('top5', 0):.4f}")
     size_mb = int8_model_size_bytes(model, state) / 1e6
     logger.info(f"INT8 model size: {size_mb:.2f} MB")
+    if args.layer_report:
+        # per-layer INT8-vs-QAT_FROZEN divergence (the numeric suite): when
+        # the dual accuracies disagree, this names the layer responsible
+        from ..quant.numeric_suite import compare_modes, format_report
+        batch = next(iter(prefetch_to_device(iter(ds), mesh)))
+        rows = compare_modes(model, state.model_variables, batch["image"])
+        logger.info("per-layer INT8 vs QAT_FROZEN (worst first):\n"
+                    + format_report(rows, args.layer_report))
     if args.export_int8:
         from ..quant import export_int8
         nbytes = export_int8(state.model_variables, args.export_int8)
@@ -105,6 +113,9 @@ def cli():
                    help="forward-only BN/observer recalibration batches before eval")
     p.add_argument("--export_int8", default=None, metavar="PATH",
                    help="write the converted INT8 deployment artifact (.npz)")
+    p.add_argument("--layer_report", type=int, default=0, metavar="N",
+                   help="print the worst-N-layers INT8-vs-QAT numeric-suite "
+                        "report (quant/numeric_suite.py)")
     main(p.parse_args())
 
 
