@@ -47,14 +47,15 @@ def make_dp_mesh(batch_size: int, devices: Optional[Sequence] = None) -> Mesh:
 
     ``shard_batch`` needs the leading dim divisible by the dp axis; torch's
     DataParallel (which the reference GAN/detection trainers rely on)
-    silently scatters over fewer GPUs when the batch is small. Same policy:
-    use gcd(batch, n_devices) devices — batch_size=1 degrades to the
-    single-device fast path instead of raising on the first batch.
+    silently scatters over fewer GPUs when the batch is small. Same effect
+    here: use the LARGEST divisor of the batch that fits the device count
+    (gcd would be wrong — batch 6 on 8 devices must use 6, not gcd=2;
+    batch_size=1 degrades to the single-device fast path instead of raising
+    on the first batch).
     """
-    import math
-
     devices = list(devices if devices is not None else jax.devices())
-    dp = math.gcd(max(int(batch_size), 1), len(devices))
+    b = max(int(batch_size), 1)
+    dp = next(d for d in range(min(b, len(devices)), 0, -1) if b % d == 0)
     return make_mesh(dp=dp, devices=devices[:dp])
 
 

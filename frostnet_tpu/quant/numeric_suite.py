@@ -51,19 +51,25 @@ class LayerReport:
 
 
 def _flatten_outputs(intermediates) -> dict:
-    """{module/path: array} for every captured __call__ output."""
-    flat = jax.tree_util.tree_flatten_with_path(
-        intermediates, is_leaf=lambda n: isinstance(n, QTensor))[0]
+    """{module/path: array} for every captured __call__ output. Modules
+    invoked more than once in a forward keep EVERY invocation, suffixed
+    ``#i`` — collapsing them would let a divergent first call hide behind a
+    healthy last one."""
     out = {}
-    for path, leaf in flat:
-        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        # drop the trailing __call__ / tuple index bookkeeping
-        name = "/".join(str(k) for k in keys
-                        if k is not None and k not in ("__call__",)
-                        and not isinstance(k, int))
-        if not isinstance(leaf, QTensor) and not hasattr(leaf, "shape"):
-            continue
-        out[name or "<output>"] = leaf
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, prefix if k == "__call__" else f"{prefix}/{k}"
+                     if prefix else k)
+        elif isinstance(node, (tuple, list)):
+            many = len(node) > 1
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}#{i}" if many else prefix)
+        elif isinstance(node, QTensor) or hasattr(node, "shape"):
+            out[prefix or "<output>"] = node
+
+    walk(intermediates, "")
     return out
 
 
@@ -92,11 +98,14 @@ def compare_modes(model, variables, x,
         return _flatten_outputs(st["intermediates"])
 
     ref, test = run(ref_mode), run(test_mode)
+    unmatched = sorted(set(ref) ^ set(test))
     rows = []
+    skipped = []
     for name in sorted(set(ref) & set(test)):
         r, _ = _dequant(ref[name])
         t, scale = _dequant(test[name])
         if r.shape != t.shape:
+            skipped.append(name)
             continue
         err = r - t
         num = float((r.astype(np.float64) ** 2).sum())
@@ -106,6 +115,13 @@ def compare_modes(model, variables, x,
         rows.append(LayerReport(
             path=name, shape=tuple(t.shape), sqnr_db=sqnr, max_abs=max_abs,
             max_quanta=(max_abs / scale) if scale else None, scale=scale))
+    if unmatched or skipped:
+        # silent coverage loss would read as "everything healthy"
+        import warnings
+        warnings.warn(
+            f"numeric_suite: {len(unmatched)} layer(s) present in only one "
+            f"mode {unmatched[:5]}, {len(skipped)} shape-mismatched "
+            f"{skipped[:5]} — excluded from the report")
     rows.sort(key=lambda r: r.sqnr_db)
     return rows
 
@@ -125,7 +141,7 @@ def cli():
     import argparse
 
     from ..utils.platform import pin_platform_from_env
-    pin_platform_from_env()
+    pin_platform_from_env()  # also enables the persistent compile cache
 
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--model", default="frostnet_quant_small_1_0")

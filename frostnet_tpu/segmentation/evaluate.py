@@ -118,8 +118,10 @@ def cli():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--data_dir", default="./data/cityscapes")
-    p.add_argument("--num_classes", type=int, default=19)
-    p.add_argument("--crop_size", type=int, default=96)
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="default resolved per dataset (21 pascal / 19 city)")
+    p.add_argument("--crop_size", type=int, default=None,
+                   help="default resolved per dataset (512/768; 96 synthetic)")
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--save_images", default=None)
     p.add_argument("--export_int8", default=None, metavar="PATH",

@@ -48,8 +48,8 @@ class SegConfig:
     coco_list: Optional[str] = None  # pascal: extra COCO-as-VOC "img,mask"
                                      # pretraining list (reference --coco_path,
                                      # voc.py:13-108)
-    num_classes: int = 19
-    crop_size: int = 768
+    num_classes: Optional[int] = None  # resolved per dataset when unset
+    crop_size: Optional[int] = None    # (resolve_dataset_defaults)
     batch_size: int = 16
     epochs: int = 2
     fp_epochs: int = 1
@@ -68,13 +68,16 @@ class SegConfig:
 
 
 def resolve_dataset_defaults(cfg: SegConfig) -> SegConfig:
-    """The reference fixes crop/classes per dataset (train.py:39-66):
-    pascal -> 512 crop, 21 classes; city -> 768 crop, 19 classes."""
-    if cfg.dataset == "pascal":
-        if cfg.num_classes == 19:  # untouched city default
-            cfg.num_classes = VOCSegmentation.NUM_CLASSES
-        if cfg.crop_size == 768:  # untouched city default
-            cfg.crop_size = 512
+    """Fill unset num_classes/crop_size per dataset (the reference fixes
+    them per dataset, train.py:39-66): pascal -> 21 classes / 512 crop;
+    city -> 19 / 768; synthetic -> 19 / 96 (smoke-sized). Explicitly passed
+    values are always respected — no sentinel-equality guessing."""
+    fills = {"pascal": (VOCSegmentation.NUM_CLASSES, 512),
+             "city": (19, 768)}.get(cfg.dataset, (19, 96))
+    if cfg.num_classes is None:
+        cfg.num_classes = fills[0]
+    if cfg.crop_size is None:
+        cfg.crop_size = fills[1]
     return cfg
 
 

@@ -55,12 +55,18 @@ def chain_time(fn, x, *rest, steps: int = 10, inner: int = 1, reps: int = 3,
 
     ``feedback`` picks how each call's output feeds the next input:
       * ``"full"`` — the output IS the next input (requires output shape ==
-        input shape). Immune to XLA dead-code narrowing; use for same-shape
-        op probes (XLA narrows a conv whose output is only sliced — measured,
-        CLAUDE.md).
-      * ``"element"`` — one output element is folded back into the carry
-        (``carry + (y[0]*0)``) so shapes may differ (whole models, blocks).
-        The full output still reaches the final readback via the last call.
+        input shape). Immune to XLA dead-code narrowing and adds no extra
+        traffic; use for same-shape op probes (XLA narrows a conv whose
+        output is only sliced — measured, CLAUDE.md).
+      * ``"element"`` — a full REDUCTION of the output is folded back into
+        the carry (``carry*0 + mean(y)``) so shapes may differ (whole
+        models, blocks). The mean forces every output element to be
+        computed — a single-element feed (``y[0]*0``) does NOT: XLA
+        constant-folds the ``*0`` and deletes the whole loop for integer
+        outputs, and narrows each call to one output element for floats
+        (verified in optimized HLO, round-3 review). The reduction adds one
+        read pass over the output, so use this mode when the output is
+        small relative to the op (models/blocks), never for op probes.
 
     Best-of-``reps`` is returned; callers printing results should label them
     best-of-N (ADVICE round 2).
@@ -75,10 +81,11 @@ def chain_time(fn, x, *rest, steps: int = 10, inner: int = 1, reps: int = 3,
                     carry = fn(carry, *rest_)
                 else:
                     y = fn(carry, *rest_)
-                    carry = carry + (y.reshape(-1)[0] * 0).astype(carry.dtype)
+                    carry = carry * 0 + jnp.mean(
+                        y.astype(jnp.float32)).astype(carry.dtype)
             return carry
         final = jax.lax.fori_loop(0, steps, body, x0)
-        return fn(final, *rest_).reshape(-1)[0].astype(jnp.float32)
+        return jnp.sum(fn(final, *rest_).astype(jnp.float32))
 
     cfn = jax.jit(chained)
     v = float(cfn(x, rest))  # compile + warm

@@ -108,15 +108,21 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_make_dp_mesh_divides_batch():
-    """make_dp_mesh sizes the dp axis to gcd(batch, devices) so the GAN
-    trainers' reference-default batch_size=1 degrades to the single-device
-    fast path instead of raising in shard_batch (torch DataParallel's
-    scatter-over-fewer-GPUs policy)."""
+    """make_dp_mesh picks the LARGEST batch divisor that fits the device
+    count, so the GAN trainers' reference-default batch_size=1 degrades to
+    the single-device fast path instead of raising in shard_batch, while
+    coprime batches still use as many devices as divide them (torch
+    DataParallel's scatter-over-fewer-GPUs behavior)."""
     from frostnet_tpu.parallel import make_dp_mesh, shard_batch
 
     n = jax.device_count()
     assert make_dp_mesh(1).size == 1
     assert make_dp_mesh(4 * n).size == n
+    if n >= 8:
+        assert make_dp_mesh(6).size == 6   # gcd(6,8)=2 would waste 4 devices
+        assert make_dp_mesh(12).size == 6
+        assert make_dp_mesh(3).size == 3
+        assert make_dp_mesh(7).size == 7
     odd = make_dp_mesh(3)
     assert 3 % odd.size == 0
     # the contract: a batch of that size actually shards
