@@ -58,7 +58,9 @@ def _flatten_outputs(intermediates) -> dict:
     out = {}
 
     def walk(node, prefix):
-        if isinstance(node, dict):
+        if isinstance(node, QTensor):  # NamedTuple — must precede the
+            out[prefix or "<output>"] = node  # tuple branch
+        elif isinstance(node, dict):
             for k, v in node.items():
                 walk(v, prefix if k == "__call__" else f"{prefix}/{k}"
                      if prefix else k)
