@@ -29,7 +29,7 @@ def _build() -> str:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO, "-ljpeg", "-lpthread"]
+           _SRC, "-o", _SO, "-ljpeg", "-lpng", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -58,6 +58,18 @@ def _load_lib():
             lib.fndl_destroy.argtypes = [ctypes.c_void_p]
             lib.fndl_batches_per_epoch.restype = ctypes.c_long
             lib.fndl_batches_per_epoch.argtypes = [ctypes.c_void_p]
+            lib.fnsl_create.restype = ctypes.c_void_p
+            lib.fnsl_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_uint, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int]
+            lib.fnsl_next.restype = ctypes.c_int
+            lib.fnsl_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p]
+            lib.fnsl_destroy.argtypes = [ctypes.c_void_p]
+            lib.fnsl_batches_per_epoch.restype = ctypes.c_long
+            lib.fnsl_batches_per_epoch.argtypes = [ctypes.c_void_p]
             _lib = lib
     return _lib
 
@@ -141,3 +153,65 @@ class NativeClassificationLoader:
                 yield {"image": images, "label": labels}
         finally:
             self.lib.fndl_destroy(handle)
+
+
+class NativeSegmentationLoader:
+    """Paired (image, mask) loader backed by the C++ worker pool: PNG/JPEG
+    decode, synchronized hflip + scale-jitter + pad + crop (image bilinear,
+    mask nearest — the reference data_transforms.py:18-166 pipeline), raw
+    uint8 RGB out (normalize on device like the classification uint8 mode).
+
+    Yields {'image': (B,H,W,3) u8, 'label': (B,H,W) i32}; eval (train=False)
+    whole-frame-resizes to crop_size (identity at the native resolution)."""
+
+    def __init__(self, img_paths: Sequence[str], mask_paths: Sequence[str],
+                 crop_size=(768, 768), batch_size: int = 16,
+                 threads: Optional[int] = None, train: bool = True,
+                 seed: int = 0, queue_depth: int = 4, scale=(0.5, 2.0),
+                 ignore: int = 255):
+        if len(img_paths) != len(mask_paths):
+            raise ValueError("img_paths and mask_paths must pair up")
+        if threads is None:
+            # same oversubscription rationale as the classification loader;
+            # uint8 seg batches are small (bs16 768^2: ~28 MB + 9 MB masks)
+            threads = max(32, os.cpu_count() or 1)
+        self.lib = _load_lib()
+        self.batch_size = batch_size
+        self.crop_size = tuple(crop_size)
+        self._imgs = [p.encode() for p in img_paths]
+        self._masks = [p.encode() for p in mask_paths]
+        self._args = (threads, train, seed, queue_depth, scale, ignore)
+
+    @classmethod
+    def from_file_list(cls, root: str, list_name: str, **kw):
+        """``root/list_name`` lines of "img_path,mask_path" relative to root
+        — the same layout CityscapesSegmentation consumes."""
+        with open(os.path.join(root, list_name)) as f:
+            pairs = [l.strip().split(",")[:2] for l in f if l.strip()]
+        return cls([os.path.join(root, a) for a, _ in pairs],
+                   [os.path.join(root, b) for _, b in pairs], **kw)
+
+    def __len__(self):
+        return len(self._imgs) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        threads, train, seed, qd, scale, ignore = self._args
+        img_arr = (ctypes.c_char_p * len(self._imgs))(*self._imgs)
+        mask_arr = (ctypes.c_char_p * len(self._masks))(*self._masks)
+        ch, cw = self.crop_size
+        handle = self.lib.fnsl_create(
+            img_arr, mask_arr, len(self._imgs), self.batch_size, ch, cw,
+            threads, int(train), seed, qd,
+            ctypes.c_float(scale[0]), ctypes.c_float(scale[1]), ignore)
+        try:
+            while True:
+                images = np.empty((self.batch_size, ch, cw, 3), np.uint8)
+                masks = np.empty((self.batch_size, ch, cw), np.uint8)
+                ok = self.lib.fnsl_next(
+                    handle, images.ctypes.data_as(ctypes.c_void_p),
+                    masks.ctypes.data_as(ctypes.c_void_p))
+                if not ok:
+                    return
+                yield {"image": images, "label": masks.astype(np.int32)}
+        finally:
+            self.lib.fnsl_destroy(handle)

@@ -1,14 +1,13 @@
-// Native data loader: threaded JPEG decode + augment + normalize.
+// Native data loader: threaded JPEG/PNG decode + augment + normalize.
 //
 // TPU-native equivalent of torch's DataLoader worker pool (the reference's
 // host-side data path, SURVEY.md §2.6 last row): N worker threads decode
-// JPEGs with libjpeg, apply train augmentation (random resized crop + hflip)
-// or eval resize+center-crop, normalize to NHWC float32, and publish whole
+// images with libjpeg/libpng, apply train augmentation, and publish whole
 // batches into a bounded ring the Python side drains via ctypes. Keeping the
 // decode in C++ threads sidesteps the GIL so the TPU step never waits on
 // input.
 //
-// C ABI:
+// Classification C ABI (JPEG folders, random-resized-crop + hflip):
 //   void* fndl_create(const char** paths, const int* labels, long n,
 //                     int batch, int out_hw, int threads, int train,
 //                     unsigned seed, int queue_depth,
@@ -20,11 +19,29 @@
 // out_uint8=1 emits raw resized uint8 RGB (4x smaller host->device
 // transfers; mean/std normalization then runs on-device, fused into the
 // jitted step) — the TPU-native layout. out_uint8=0 keeps normalized f32.
+//
+// Segmentation C ABI (paired image+mask, the reference's
+// data_transforms.py:18-166 pipeline: hflip + scale jitter + pad + crop,
+// image bilinear / mask nearest; cityscapes images are PNG, masks are
+// grayscale-or-palette PNG whose PIXEL VALUE is the class id):
+//   void* fnsl_create(const char** img_paths, const char** mask_paths,
+//                     long n, int batch, int crop_h, int crop_w,
+//                     int threads, int train, unsigned seed,
+//                     int queue_depth, float scale_min, float scale_max,
+//                     int ignore_label);
+//   int   fnsl_next(void* h, unsigned char* images, unsigned char* masks);
+//   void  fnsl_destroy(void* h);
+//   long  fnsl_batches_per_epoch(void* h);
+// Images are emitted as raw uint8 RGB (normalize on device like the
+// classification uint8 mode); masks as uint8 class ids. Eval (train=0)
+// bilinear-resizes the whole frame to (crop_h, crop_w) — identity at the
+// native resolution.
 
 #include <cstddef>
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <atomic>
@@ -81,6 +98,96 @@ bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
   return true;
+}
+
+// Decode a PNG. for_image=true -> RGB8 (palette/gray expanded, alpha
+// stripped, channels=3). for_image=false (mask) -> single channel of raw
+// class ids: palette indices are NOT expanded to RGB (VOC-style masks store
+// the class in the palette index; cityscapes *TrainIds are 8-bit gray).
+bool decode_png(const std::string& path, bool for_image,
+                std::vector<unsigned char>& out, int* w, int* h) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  png_byte sig[8];
+  if (fread(sig, 1, 8, f) != 8 || png_sig_cmp(sig, 0, 8)) {
+    fclose(f);
+    return false;
+  }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+  png_uint_32 pw = png_get_image_width(png, info);
+  png_uint_32 ph = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color = png_get_color_type(png, info);
+  if (for_image) {
+    if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (color == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+      png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+      png_set_gray_to_rgb(png);
+    png_set_strip_alpha(png);
+  } else {
+    // keep palette indices / gray values as-is; just normalize to 8-bit
+    if (bit_depth < 8) png_set_packing(png);
+    if (color == PNG_COLOR_TYPE_GRAY_ALPHA || color == PNG_COLOR_TYPE_RGB_ALPHA)
+      png_set_strip_alpha(png);
+  }
+  if (bit_depth == 16) png_set_strip_16(png);
+  png_read_update_info(png, info);
+  int channels = png_get_channels(png, info);
+  int want = for_image ? 3 : 1;
+  std::vector<unsigned char> rows(static_cast<size_t>(pw) * ph * channels);
+  std::vector<png_bytep> rowp(ph);
+  for (png_uint_32 y = 0; y < ph; ++y)
+    rowp[y] = rows.data() + static_cast<size_t>(y) * pw * channels;
+  png_read_image(png, rowp.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  *w = static_cast<int>(pw);
+  *h = static_cast<int>(ph);
+  if (channels == want) {
+    out = std::move(rows);
+  } else {
+    out.resize(static_cast<size_t>(pw) * ph * want);
+    for (size_t p = 0; p < static_cast<size_t>(pw) * ph; ++p)
+      for (int c = 0; c < want; ++c)
+        out[p * want + c] = rows[p * channels + (channels >= want ? c : 0)];
+  }
+  return true;
+}
+
+// Magic-byte dispatch: PNG or JPEG, to `want_channels` (3 = RGB image,
+// 1 = raw mask values).
+bool decode_image(const std::string& path, bool for_image,
+                  std::vector<unsigned char>& out, int* w, int* h) {
+  unsigned char magic[2] = {0, 0};
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  size_t got = fread(magic, 1, 2, f);
+  fclose(f);
+  if (got != 2) return false;
+  if (magic[0] == 0x89 && magic[1] == 'P')
+    return decode_png(path, for_image, out, w, h);
+  if (magic[0] == 0xFF && magic[1] == 0xD8) {
+    if (!decode_jpeg(path, out, w, h)) return false;
+    if (!for_image) {  // JPEG mask (unusual): take the first channel
+      std::vector<unsigned char> one(static_cast<size_t>(*w) * *h);
+      for (size_t p = 0; p < one.size(); ++p) one[p] = out[p * 3];
+      out = std::move(one);
+    }
+    return true;
+  }
+  return false;
 }
 
 // Bilinear sample from an RGB8 crop region into out_hw x out_hw RGB:
@@ -197,9 +304,209 @@ struct Loader {
   }
 };
 
+// --------------------------------------------------------------------------
+// Paired segmentation pipeline (image bilinear / mask nearest, synchronized
+// flip+scale+pad+crop; reference data_transforms.py:18-166 semantics).
+// Samples the virtual "scaled to (nh,nw), padded, cropped at (y0,x0)" frame
+// directly from the decoded source — the scaled image is never materialized.
+// --------------------------------------------------------------------------
+void sample_pair(const unsigned char* img, const unsigned char* mask,
+                 int w, int h, int nh, int nw, int y0, int x0, bool flip,
+                 int crop_h, int crop_w, unsigned char ignore,
+                 unsigned char* img_out, unsigned char* mask_out) {
+  for (int oy = 0; oy < crop_h; ++oy) {
+    int ys = y0 + oy;
+    for (int ox = 0; ox < crop_w; ++ox) {
+      int xs = x0 + ox;
+      size_t off = (static_cast<size_t>(oy) * crop_w + ox);
+      if (ys >= nh || xs >= nw) {  // bottom/right pad region
+        img_out[off * 3] = img_out[off * 3 + 1] = img_out[off * 3 + 2] = 0;
+        mask_out[off] = ignore;
+        continue;
+      }
+      // PIL-style center-aligned sampling from the unscaled source
+      float sy = (ys + 0.5f) * h / nh - 0.5f;
+      float sx = (xs + 0.5f) * w / nw - 0.5f;
+      if (sy < 0) sy = 0;
+      if (sy > h - 1) sy = static_cast<float>(h - 1);
+      if (sx < 0) sx = 0;
+      if (sx > w - 1) sx = static_cast<float>(w - 1);
+      int iy = static_cast<int>(sy), ix = static_cast<int>(sx);
+      int iy1 = iy + 1 < h ? iy + 1 : h - 1;
+      int ix1 = ix + 1 < w ? ix + 1 : w - 1;
+      float fy = sy - iy, fx = sx - ix;
+      int cx = ix, cx1 = ix1;
+      if (flip) {  // flip-then-scale == sample mirrored source columns
+        cx = w - 1 - ix;
+        cx1 = w - 1 - ix1;
+      }
+      const unsigned char* p00 = img + (static_cast<size_t>(iy) * w + cx) * 3;
+      const unsigned char* p01 = img + (static_cast<size_t>(iy) * w + cx1) * 3;
+      const unsigned char* p10 = img + (static_cast<size_t>(iy1) * w + cx) * 3;
+      const unsigned char* p11 = img + (static_cast<size_t>(iy1) * w + cx1) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = (1 - fy) * ((1 - fx) * p00[c] + fx * p01[c]) +
+                  fy * ((1 - fx) * p10[c] + fx * p11[c]);
+        float r = v + 0.5f;
+        img_out[off * 3 + c] =
+            static_cast<unsigned char>(r < 0 ? 0 : (r > 255 ? 255 : r));
+      }
+      // nearest for the mask (class ids must never blend)
+      int my = static_cast<int>((ys + 0.5f) * h / nh);
+      int mx = static_cast<int>((xs + 0.5f) * w / nw);
+      if (my > h - 1) my = h - 1;
+      if (mx > w - 1) mx = w - 1;
+      if (flip) mx = w - 1 - mx;
+      mask_out[off] = mask[static_cast<size_t>(my) * w + mx];
+    }
+  }
+}
+
+struct SegBatch {
+  std::vector<unsigned char> images;  // (B, crop_h, crop_w, 3) u8
+  std::vector<unsigned char> masks;   // (B, crop_h, crop_w) u8 class ids
+};
+
+struct SegLoader {
+  std::vector<std::string> img_paths, mask_paths;
+  int batch, crop_h, crop_w, threads, queue_depth;
+  bool train;
+  unsigned seed;
+  float scale_min, scale_max;
+  unsigned char ignore;
+
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_put, cv_get;
+  std::queue<SegBatch> ready;
+  std::atomic<long> next_batch{0};
+  long delivered = 0;
+  long total_batches = 0;
+  std::atomic<bool> stop{false};
+  std::vector<long> order;
+
+  void worker_main(int wid) {
+    std::mt19937 rng(seed * 9176 + wid);
+    std::uniform_real_distribution<float> u01(0.f, 1.f);
+    const size_t px = static_cast<size_t>(crop_h) * crop_w;
+    while (!stop.load()) {
+      long b = next_batch.fetch_add(1);
+      if (b >= total_batches) break;
+      SegBatch out;
+      out.images.resize(static_cast<size_t>(batch) * px * 3);
+      out.masks.resize(static_cast<size_t>(batch) * px);
+      for (int i = 0; i < batch; ++i) {
+        long idx = order[(b * batch + i) % static_cast<long>(img_paths.size())];
+        unsigned char* img_dst = out.images.data() + static_cast<size_t>(i) * px * 3;
+        unsigned char* mask_dst = out.masks.data() + static_cast<size_t>(i) * px;
+        std::vector<unsigned char> img, mask;
+        int w = 0, h = 0, mw = 0, mh = 0;
+        if (!decode_image(img_paths[idx], true, img, &w, &h) ||
+            !decode_image(mask_paths[idx], false, mask, &mw, &mh) ||
+            mw != w || mh != h || w < 2 || h < 2) {
+          std::memset(img_dst, 0, px * 3);
+          std::memset(mask_dst, ignore, px);
+          continue;
+        }
+        if (train) {
+          float s = scale_min + (scale_max - scale_min) * u01(rng);
+          int nh = static_cast<int>(h * s), nw = static_cast<int>(w * s);
+          if (nh < 1) nh = 1;
+          if (nw < 1) nw = 1;
+          // pad bottom/right to at least the crop (image 0, mask ignore)
+          int span_h = nh > crop_h ? nh - crop_h : 0;
+          int span_w = nw > crop_w ? nw - crop_w : 0;
+          int y0 = span_h ? static_cast<int>(u01(rng) * (span_h + 1)) : 0;
+          int x0 = span_w ? static_cast<int>(u01(rng) * (span_w + 1)) : 0;
+          if (y0 > span_h) y0 = span_h;
+          if (x0 > span_w) x0 = span_w;
+          bool flip = u01(rng) < 0.5f;
+          sample_pair(img.data(), mask.data(), w, h, nh, nw, y0, x0, flip,
+                      crop_h, crop_w, ignore, img_dst, mask_dst);
+        } else {
+          // whole-frame resize to the output shape (identity at native res)
+          sample_pair(img.data(), mask.data(), w, h, crop_h, crop_w, 0, 0,
+                      false, crop_h, crop_w, ignore, img_dst, mask_dst);
+        }
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_put.wait(lk, [&] { return static_cast<int>(ready.size()) < queue_depth || stop.load(); });
+      if (stop.load()) break;
+      ready.push(std::move(out));
+      cv_get.notify_one();
+    }
+    std::unique_lock<std::mutex> lk(mu);
+    cv_get.notify_all();
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* fnsl_create(const char** img_paths, const char** mask_paths, long n,
+                  int batch, int crop_h, int crop_w, int threads, int train,
+                  unsigned seed, int queue_depth, float scale_min,
+                  float scale_max, int ignore_label) {
+  auto* l = new SegLoader();
+  l->img_paths.reserve(n);
+  l->mask_paths.reserve(n);
+  for (long i = 0; i < n; ++i) {
+    l->img_paths.emplace_back(img_paths[i]);
+    l->mask_paths.emplace_back(mask_paths[i]);
+  }
+  l->batch = batch;
+  l->crop_h = crop_h;
+  l->crop_w = crop_w;
+  l->threads = threads;
+  l->train = train != 0;
+  l->seed = seed;
+  l->queue_depth = queue_depth;
+  l->scale_min = scale_min;
+  l->scale_max = scale_max;
+  l->ignore = static_cast<unsigned char>(ignore_label);
+  l->total_batches = n / batch;
+  l->order.resize(n);
+  for (long i = 0; i < n; ++i) l->order[i] = i;
+  if (l->train) {
+    std::mt19937_64 rng(seed);
+    std::shuffle(l->order.begin(), l->order.end(), rng);
+  }
+  for (int t = 0; t < threads; ++t)
+    l->workers.emplace_back(&SegLoader::worker_main, l, t);
+  return l;
+}
+
+long fnsl_batches_per_epoch(void* h) {
+  return static_cast<SegLoader*>(h)->total_batches;
+}
+
+int fnsl_next(void* h, unsigned char* images, unsigned char* masks) {
+  auto* l = static_cast<SegLoader*>(h);
+  std::unique_lock<std::mutex> lk(l->mu);
+  l->cv_get.wait(lk, [&] {
+    return !l->ready.empty() || l->delivered >= l->total_batches ||
+           l->stop.load();
+  });
+  if (l->ready.empty()) return 0;
+  SegBatch b = std::move(l->ready.front());
+  l->ready.pop();
+  ++l->delivered;
+  l->cv_put.notify_one();
+  lk.unlock();
+  std::memcpy(images, b.images.data(), b.images.size());
+  std::memcpy(masks, b.masks.data(), b.masks.size());
+  return 1;
+}
+
+void fnsl_destroy(void* h) {
+  auto* l = static_cast<SegLoader*>(h);
+  l->stop.store(true);
+  l->cv_put.notify_all();
+  l->cv_get.notify_all();
+  for (auto& t : l->workers) t.join();
+  delete l;
+}
 
 void* fndl_create(const char** paths, const int* labels, long n, int batch,
                   int out_hw, int threads, int train, unsigned seed,

@@ -176,6 +176,14 @@ class VOCSegmentation:
                 if self.train:
                     img, mask = self.tf(img, mask, rng)
                 else:
+                    # VOC images vary in size; the reference val protocol
+                    # resizes both to crop_size (voc.py:71-77 Resize) —
+                    # also what makes fixed-shape batching possible.
+                    ch, cw = self.tf.crop_size
+                    img = np.asarray(Image.fromarray(img).resize(
+                        (cw, ch), Image.BILINEAR))
+                    mask = np.asarray(Image.fromarray(mask).resize(
+                        (cw, ch), Image.NEAREST))
                     img = (img.astype(np.float32) / 255.0 - self.tf.mean) / self.tf.std
                     mask = mask.astype(np.int32)
                 ims.append(img); ms.append(mask)

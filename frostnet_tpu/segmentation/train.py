@@ -29,7 +29,7 @@ from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.losses import cross_entropy
 from ..utils.metrics import confusion_matrix, miou_from_confusion
-from ..train.state import QATTrainState, create_train_state
+from ..train.state import QATTrainState, _prep_image, create_train_state
 from .data import (
     CITYSCAPES_CLASS_WEIGHTS,
     CITYSCAPES_IGNORE,
@@ -63,6 +63,9 @@ class SegConfig:
     seed: int = 42
     save_dir: str = "./runs/segmentation"
     ignore_index: int = CITYSCAPES_IGNORE
+    loader: str = "python"          # "python" (PIL) | "native" (C++ pool:
+                                    # PNG/JPEG decode + paired aug, uint8 out
+                                    # normalized on device)
     resume: bool = False            # continue from save_dir/checkpoint
                                     # (reference --resume, train.py:228-236)
 
@@ -88,32 +91,58 @@ def build_seg_dataset(cfg: SegConfig, train: bool):
             length=cfg.batch_size * (cfg.steps_per_epoch or 4),
             batch_size=cfg.batch_size, seed=cfg.seed + (not train))
     if cfg.dataset == "pascal":
-        return VOCSegmentation(
+        ds = VOCSegmentation(
             cfg.data_dir, train=train, crop_size=(cfg.crop_size, cfg.crop_size),
             batch_size=cfg.batch_size, seed=cfg.seed,
             coco_list=cfg.coco_list if train else None)
-    if cfg.dataset == "city":
-        return CityscapesSegmentation(
+    elif cfg.dataset == "city":
+        ds = CityscapesSegmentation(
             cfg.data_dir, train=train, crop_size=(cfg.crop_size, cfg.crop_size),
             batch_size=cfg.batch_size, seed=cfg.seed)
-    raise ValueError(f"unknown dataset {cfg.dataset!r} (city|pascal|synthetic)")
+    else:
+        raise ValueError(f"unknown dataset {cfg.dataset!r} (city|pascal|synthetic)")
+    if cfg.loader == "native":
+        # hand the Python dataset's (img, mask) path list to the C++ pool;
+        # city pairs are root-relative, VOC pairs absolute. Val protocol:
+        # pascal resizes to crop (reference voc.py Resize); city evaluates
+        # at the native 1024x2048 (whole-frame resize == identity there).
+        try:
+            from ..native import NativeSegmentationLoader
+            root = cfg.data_dir if cfg.dataset == "city" else ""
+            imgs = [os.path.join(root, a) for a, _ in ds.pairs]
+            masks = [os.path.join(root, b) for _, b in ds.pairs]
+            if train:
+                crop = (cfg.crop_size, cfg.crop_size)
+            else:
+                crop = (1024, 2048) if cfg.dataset == "city" else \
+                    (cfg.crop_size, cfg.crop_size)
+            return NativeSegmentationLoader(
+                imgs, masks, crop_size=crop, batch_size=cfg.batch_size,
+                train=train, seed=cfg.seed, ignore=cfg.ignore_index)
+        except RuntimeError as e:  # toolchain/libjpeg/libpng missing
+            import warnings
+            warnings.warn(f"--loader native unavailable ({e}); "
+                          "falling back to the Python loader")
+    return ds
 
 
 _dataset = build_seg_dataset  # back-compat alias
 
 
-def make_seg_train_step(model, mode, class_weights, ignore_index, num_classes):
+def make_seg_train_step(model, mode, class_weights, ignore_index, num_classes,
+                        input_mean=None, input_std=None):
     weights = None if class_weights is None else jnp.asarray(class_weights)
     mutable = ["batch_stats"] + (["quant"] if mode.observe else [])
 
     def step(state: QATTrainState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
+        image = _prep_image(batch["image"], input_mean, input_std)
 
         def compute_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats,
                          "quant": state.quant}
             logits, updates = model.apply(
-                variables, batch["image"], mode=mode, train=True,
+                variables, image, mode=mode, train=True,
                 mutable=mutable, rngs={"dropout": dropout_rng})
             loss = cross_entropy(logits, batch["label"], class_weights=weights,
                                  ignore_index=ignore_index)
@@ -135,9 +164,12 @@ def make_seg_train_step(model, mode, class_weights, ignore_index, num_classes):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_seg_eval_step(model, mode, num_classes, ignore_index):
+def make_seg_eval_step(model, mode, num_classes, ignore_index,
+                       input_mean=None, input_std=None):
     def step(state: QATTrainState, batch):
-        logits = model.apply(state.model_variables, batch["image"], mode=mode)
+        logits = model.apply(
+            state.model_variables,
+            _prep_image(batch["image"], input_mean, input_std), mode=mode)
         pred = jnp.argmax(logits, axis=-1)
         return confusion_matrix(pred, batch["label"], num_classes, ignore_index)
 
