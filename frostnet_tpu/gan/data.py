@@ -18,7 +18,18 @@ def _list_images(d):
                   if f.lower().endswith(exts))
 
 
-def _load_transform(path, rng, load_size=286, crop_size=256, flip=True, ab_half=None):
+def _transform_params(rng, load_size, crop_size):
+    """One (x0, y0, flip) draw — the reference's get_params
+    (base_dataset.py:13-32), drawn ONCE per aligned pair so A and B get the
+    SAME crop and flip (aligned_dataset.py:49-54 'apply the same transform
+    to both A and B')."""
+    x0 = rng.randint(0, load_size - crop_size + 1)
+    y0 = rng.randint(0, load_size - crop_size + 1)
+    return x0, y0, rng.rand() < 0.5
+
+
+def _load_transform(path, rng, load_size=286, crop_size=256, flip=True,
+                    ab_half=None, params=None):
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
@@ -27,10 +38,10 @@ def _load_transform(path, rng, load_size=286, crop_size=256, flip=True, ab_half=
         half = w // 2
         img = img.crop((0, 0, half, h)) if ab_half == "A" else img.crop((half, 0, w, h))
     img = img.resize((load_size, load_size), Image.BICUBIC)
-    x0 = rng.randint(0, load_size - crop_size + 1)
-    y0 = rng.randint(0, load_size - crop_size + 1)
+    x0, y0, do_flip = params if params is not None else \
+        _transform_params(rng, load_size, crop_size)
     arr = np.asarray(img, np.float32)[y0:y0 + crop_size, x0:x0 + crop_size] / 255.0
-    if flip and rng.rand() < 0.5:
+    if flip and do_flip:
         arr = arr[:, ::-1]
     return arr * 2.0 - 1.0
 
@@ -55,10 +66,14 @@ class AlignedDataset:
         order = rng.permutation(len(self.paths))
         for b in range(len(self)):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            # one params draw per PAIR: A|B stay pixel-aligned under the
+            # random crop/flip (reference aligned_dataset.py:49-54)
+            params = [_transform_params(rng, self.load_size, self.crop_size)
+                      for _ in idx]
             a = [_load_transform(self.paths[i], rng, self.load_size, self.crop_size,
-                                 ab_half="A") for i in idx]
+                                 ab_half="A", params=p) for i, p in zip(idx, params)]
             bb = [_load_transform(self.paths[i], rng, self.load_size, self.crop_size,
-                                  ab_half="B") for i in idx]
+                                  ab_half="B", params=p) for i, p in zip(idx, params)]
             yield {"A": np.stack(a).astype(np.float32),
                    "B": np.stack(bb).astype(np.float32)}
 

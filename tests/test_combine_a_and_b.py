@@ -137,3 +137,23 @@ def test_prepare_cityscapes_pix2pix(tmp_path):
         (li / "train" / "city" / "city_000000_000019_leftImg8bit.png").read_bytes())
     with pytest.raises(ValueError):
         prep.process_phase(str(gt), str(li), str(out), "train", size=64)
+
+
+def test_aligned_crop_and_flip_are_shared_across_ab(tmp_path):
+    """The reference applies the SAME transform params to both halves
+    (aligned_dataset.py:49-54); with A == B content, every sampled pair must
+    come out identical — independent crops/flips would break pix2pix's
+    pixel-aligned L1 target."""
+    from PIL import Image
+    from frostnet_tpu.gan.data import AlignedDataset
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "train").mkdir()
+    for i in range(4):
+        half = rng.randint(0, 255, (48, 48, 3), np.uint8)
+        Image.fromarray(np.concatenate([half, half], axis=1)).save(
+            tmp_path / "train" / f"{i}.png")
+    ds = AlignedDataset(str(tmp_path), phase="train", batch_size=2,
+                        load_size=40, crop_size=24, seed=3)
+    for batch in ds:
+        np.testing.assert_array_equal(batch["A"], batch["B"])
