@@ -96,11 +96,16 @@ class UnalignedDataset:
         return max(len(self.paths_a), len(self.paths_b)) // self.batch_size
 
     def __iter__(self):
+        # reference protocol (unaligned_dataset.py:51-56): A iterates a
+        # shuffled epoch (every A image seen once, index % A_size wrapping),
+        # B is drawn at random "to avoid fixed pairs"
         rng = np.random.RandomState(self.seed)
-        for _ in range(len(self)):
-            a = [_load_transform(self.paths_a[rng.randint(len(self.paths_a))], rng,
-                                 self.load_size, self.crop_size)
-                 for _ in range(self.batch_size)]
+        order_a = rng.permutation(len(self.paths_a))
+        for step in range(len(self)):
+            ia = [order_a[(step * self.batch_size + i) % len(self.paths_a)]
+                  for i in range(self.batch_size)]
+            a = [_load_transform(self.paths_a[i], rng,
+                                 self.load_size, self.crop_size) for i in ia]
             b = [_load_transform(self.paths_b[rng.randint(len(self.paths_b))], rng,
                                  self.load_size, self.crop_size)
                  for _ in range(self.batch_size)]

@@ -157,3 +157,29 @@ def test_aligned_crop_and_flip_are_shared_across_ab(tmp_path):
                         load_size=40, crop_size=24, seed=3)
     for batch in ds:
         np.testing.assert_array_equal(batch["A"], batch["B"])
+
+
+def test_unaligned_a_covers_epoch_b_random(tmp_path):
+    """Reference protocol (unaligned_dataset.py:51-56): A iterates a
+    shuffled epoch — every A image appears exactly once per epoch at
+    batch_size 1 — while B is drawn at random to avoid fixed pairs."""
+    from PIL import Image
+    from frostnet_tpu.gan.data import UnalignedDataset
+
+    for side in ("A", "B"):
+        (tmp_path / f"train{side}").mkdir()
+    # encode the image index in a constant pixel value so we can recover
+    # which file each sample came from after resize (constant images are
+    # interpolation-invariant)
+    for i in range(6):
+        Image.fromarray(np.full((32, 32, 3), 10 + i * 20, np.uint8)).save(
+            tmp_path / "trainA" / f"{i}.png")
+        Image.fromarray(np.full((32, 32, 3), 15, np.uint8)).save(
+            tmp_path / "trainB" / f"{i}.png")
+    ds = UnalignedDataset(str(tmp_path), "train", batch_size=1,
+                          load_size=16, crop_size=8, seed=0)
+    seen = []
+    for batch in ds:
+        v = (batch["A"][0, 0, 0, 0] + 1) / 2 * 255  # undo [-1,1]
+        seen.append(int(round((v - 10) / 20)))
+    assert sorted(seen) == list(range(6)), seen
