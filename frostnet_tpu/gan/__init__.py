@@ -13,7 +13,7 @@ from .networks import (
 )
 from .image_pool import ImagePool
 from .models import NetState, make_net_state, make_pix2pix_steps, make_cyclegan_steps
-from .data import AlignedDataset, UnalignedDataset, SyntheticPairs
+from .data import AlignedDataset, UnalignedDataset, SyntheticPairs, apply_direction
 
 __all__ = [
     "ResnetGenerator",
@@ -33,4 +33,5 @@ __all__ = [
     "AlignedDataset",
     "UnalignedDataset",
     "SyntheticPairs",
+    "apply_direction",
 ]

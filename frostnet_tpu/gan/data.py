@@ -158,6 +158,17 @@ class SingleDataset:
                    "path": self.paths[b * self.batch_size]}
 
 
+def apply_direction(batch: dict, direction: str) -> dict:
+    """pix2pix/cyclegan ``set_input`` semantics (pix2pix_model.py:78-84,
+    cycle_gan_model.py:113-118): ``BtoA`` swaps which domain is the input.
+    No-op for AtoB or single-domain batches."""
+    if direction not in ("AtoB", "BtoA"):
+        raise ValueError(f"direction must be AtoB|BtoA, got {direction!r}")
+    if direction == "BtoA" and "A" in batch and "B" in batch:
+        batch = dict(batch, A=batch["B"], B=batch["A"])
+    return batch
+
+
 def rgb_to_lab(rgb: np.ndarray):
     """sRGB [0,1] -> CIE L*a*b* (the colorization dataset's conversion,
     data/colorization_dataset.py via skimage). Vectorized numpy (D65)."""

@@ -17,7 +17,7 @@ from ..nn import QAT, QAT_FROZEN, INT8
 from ..optim import qadam
 from ..utils.checkpoint import restore_model_variables
 from ..utils.logging import MetricLogger
-from .data import AlignedDataset, SyntheticPairs
+from .data import AlignedDataset, SyntheticPairs, apply_direction
 from .models import make_net_state
 from .networks import define_g
 from .visualizer import HTMLGallery
@@ -49,6 +49,7 @@ def main(args):
     for i, batch in enumerate(ds):
         if i >= args.num_test:
             break
+        batch = apply_direction(batch, args.direction)
         a = jnp.asarray(batch["A"])
         fake_qat = np.asarray(qat_fn(g_state.variables, a))
         fake_int8 = np.asarray(int8_fn(g_state.variables, a))
@@ -70,6 +71,8 @@ def cli():
     p.add_argument("--data_root", default="./datasets/facades")
     p.add_argument("--crop_size", type=int, default=256)
     p.add_argument("--num_test", type=int, default=4)
+    p.add_argument("--direction", default="AtoB", choices=["AtoB", "BtoA"],
+                   help="BtoA swaps the domains (base_options.py:42)")
     p.add_argument("--results_dir", default="./results/gan")
     p.add_argument("--export_int8", default=None, metavar="PATH",
                    help="write the converted INT8 netG artifact (.npz)")

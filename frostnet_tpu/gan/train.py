@@ -25,7 +25,7 @@ from ..optim import adam, qadam, set_warmup
 from ..parallel import make_dp_mesh, replicate, shard_batch
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from .data import AlignedDataset, UnalignedDataset, SyntheticPairs
+from .data import AlignedDataset, UnalignedDataset, SyntheticPairs, apply_direction
 from .image_pool import ImagePool
 from .models import make_net_state, make_pix2pix_steps, make_cyclegan_steps
 from .networks import define_d, define_g
@@ -38,6 +38,8 @@ class GANConfig:
     data_root: str = "./datasets/facades"
     netG: str = "resnet_6blocks"
     gan_mode: str = "lsgan"      # pix2pix reference default is vanilla; lsgan for cyclegan
+    direction: str = "AtoB"      # AtoB | BtoA (base_options.py:42; BtoA
+                                 # swaps the domains at set_input)
     crop_size: int = 256
     load_size: int = 286
     batch_size: int = 1
@@ -119,6 +121,7 @@ def train_pix2pix(cfg: GANConfig, logger):
             for i, batch in enumerate(ds):
                 if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                     break
+                batch = apply_direction(batch, cfg.direction)
                 batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
                 d_state, md = d_step(g_state, d_state, batch)
                 g_state, mg = g_step(g_state, d_state, batch)
@@ -172,6 +175,7 @@ def train_cyclegan(cfg: GANConfig, logger):
             for i, batch in enumerate(ds):
                 if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                     break
+                batch = apply_direction(batch, cfg.direction)
                 batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
                 gA, gB, joint_opt_state, fake_a, fake_b, mg = g_step(
                     gA, gB, dA, dB, batch, joint_opt_state)

@@ -183,3 +183,20 @@ def test_unaligned_a_covers_epoch_b_random(tmp_path):
         v = (batch["A"][0, 0, 0, 0] + 1) / 2 * 255  # undo [-1,1]
         seen.append(int(round((v - 10) / 20)))
     assert sorted(seen) == list(range(6)), seen
+
+
+def test_apply_direction_swaps_domains():
+    """--direction BtoA swaps which domain is the generator input
+    (reference pix2pix_model.py:78-84 set_input)."""
+    from frostnet_tpu.gan.data import apply_direction
+
+    batch = {"A": np.ones(3), "B": np.zeros(3)}
+    out = apply_direction(batch, "BtoA")
+    np.testing.assert_array_equal(out["A"], np.zeros(3))
+    np.testing.assert_array_equal(out["B"], np.ones(3))
+    same = apply_direction(batch, "AtoB")
+    np.testing.assert_array_equal(same["A"], np.ones(3))
+    # original dict untouched (shard_batch consumes the returned one)
+    np.testing.assert_array_equal(batch["A"], np.ones(3))
+    with pytest.raises(ValueError):
+        apply_direction(batch, "sideways")
