@@ -50,26 +50,33 @@ class AlignedDataset:
     """A|B concatenated pairs under root/train (data/aligned_dataset.py)."""
 
     def __init__(self, root, phase="train", batch_size=1, load_size=286,
-                 crop_size=256, seed=0):
+                 crop_size=256, seed=0, shuffle=None, flip=None):
         self.paths = _list_images(os.path.join(root, phase))
         if not self.paths:
             raise FileNotFoundError(f"no images under {root}/{phase}")
         self.batch_size = batch_size
         self.load_size, self.crop_size = load_size, crop_size
         self.seed = seed
+        # the reference tester hard-sets serial_batches + no_flip at test
+        # time (test.py:43-44); default both off for non-train phases
+        self.shuffle = (phase == "train") if shuffle is None else shuffle
+        self.flip = (phase == "train") if flip is None else flip
 
     def __len__(self):
         return len(self.paths) // self.batch_size
 
     def __iter__(self):
         rng = np.random.RandomState(self.seed)
-        order = rng.permutation(len(self.paths))
+        order = rng.permutation(len(self.paths)) if self.shuffle \
+            else np.arange(len(self.paths))
         for b in range(len(self)):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
             # one params draw per PAIR: A|B stay pixel-aligned under the
             # random crop/flip (reference aligned_dataset.py:49-54)
             params = [_transform_params(rng, self.load_size, self.crop_size)
                       for _ in idx]
+            if not self.flip:
+                params = [(x0, y0, False) for x0, y0, _ in params]
             a = [_load_transform(self.paths[i], rng, self.load_size, self.crop_size,
                                  ab_half="A", params=p) for i, p in zip(idx, params)]
             bb = [_load_transform(self.paths[i], rng, self.load_size, self.crop_size,

@@ -200,3 +200,25 @@ def test_apply_direction_swaps_domains():
     np.testing.assert_array_equal(batch["A"], np.ones(3))
     with pytest.raises(ValueError):
         apply_direction(batch, "sideways")
+
+
+def test_aligned_test_phase_is_serial_and_unflipped(tmp_path):
+    """The reference tester hard-sets serial_batches + no_flip
+    (test.py:43-44); phase='test' must yield file order, unflipped, with
+    the whole frame when load_size == crop_size."""
+    from PIL import Image
+    from frostnet_tpu.gan.data import AlignedDataset
+
+    (tmp_path / "test").mkdir()
+    halves = []
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        half = rng.randint(0, 255, (16, 16, 3), np.uint8)
+        halves.append(half)
+        Image.fromarray(np.concatenate([half, half], axis=1)).save(
+            tmp_path / "test" / f"{i}.png")
+    ds = AlignedDataset(str(tmp_path), phase="test", batch_size=1,
+                        load_size=16, crop_size=16, seed=9)
+    got = [((b["A"][0] + 1) / 2 * 255) for b in ds]
+    for want, have in zip(halves, got):
+        np.testing.assert_allclose(have, want.astype(np.float32), atol=0.51)
