@@ -60,7 +60,11 @@ def main(args):
                   crop_size=args.crop_size, batch_size=args.batch_size,
                   num_classes=args.num_classes))
     mesh = make_mesh()
-    model = get_seg_model(cfg.model, num_classes=cfg.num_classes)
+    # same LR-ASPP pool geometry the trainer builds with (train.py main):
+    # city (37,12) vs pascal/other (25,8) — a mismatch would silently eval
+    # a different network than the one trained
+    model = get_seg_model(cfg.model, num_classes=cfg.num_classes,
+                          dataset="city" if cfg.dataset != "pascal" else "pascal")
     tx = get_optimizer("QSGD", 1e-3)
     if cfg.dataset == "synthetic":
         ds = SyntheticSegmentation(cfg.num_classes, (cfg.crop_size, cfg.crop_size),

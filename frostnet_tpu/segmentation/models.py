@@ -106,6 +106,8 @@ def _espnetv2(**kw):
     from .espnet import ESPNetv2Seg
 
     kw.setdefault("num_classes", 20)
+    kw.pop("dataset", None)  # ESPNet heads use fixed PSP geometry (the
+    # trainer passes dataset= for the LR-ASPP pool sizes; n/a here)
     return ESPNetv2Seg(**kw)
 
 
@@ -116,6 +118,7 @@ def _espnet(**kw):
     from .espnet import ESPNetSeg
 
     kw.setdefault("num_classes", 20)
+    kw.pop("dataset", None)
     return ESPNetSeg(**kw)
 
 

@@ -79,3 +79,14 @@ def test_trainer_dispatch_selects_pascal(voc_root):
     with pytest.raises(FileNotFoundError):
         build_seg_dataset(SegConfig(dataset="pascal", data_dir="/nonexistent"),
                           train=True)
+
+
+def test_every_seg_model_accepts_trainer_kwargs():
+    """The trainer and evaluator construct models with dataset= (LR-ASPP
+    pool geometry); ESPNet heads use fixed PSP geometry and must tolerate
+    the kwarg instead of crashing (espnetv2 did, round-3 fix)."""
+    from frostnet_tpu.segmentation.models import SEG_MODELS, get_seg_model
+
+    for name in SEG_MODELS:
+        get_seg_model(name, num_classes=19, dataset="pascal")
+        get_seg_model(name, num_classes=19, dataset="city")
