@@ -192,6 +192,36 @@ def rgb_to_lab(rgb: np.ndarray):
     return np.stack([L, a, bb], axis=-1)
 
 
+def lab_to_rgb(lab: np.ndarray):
+    """CIE L*a*b* -> sRGB [0,1] (inverse of rgb_to_lab; the reference's
+    skimage color.lab2rgb path in colorization_model.py:48-63). D65."""
+    L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def f_inv(t):
+        return np.where(t > 6.0 / 29.0, t ** 3, 3 * (6.0 / 29.0) ** 2 * (t - 4.0 / 29.0))
+
+    xyz = np.stack([f_inv(fx), f_inv(fy), f_inv(fz)], axis=-1)
+    xyz = xyz * np.array([0.95047, 1.0, 1.08883], np.float32)
+    m_inv = np.array([[3.2404542, -1.5371385, -0.4985314],
+                      [-0.9692660, 1.8760108, 0.0415560],
+                      [0.0556434, -0.2040259, 1.0572252]], np.float32)
+    lin = xyz @ m_inv.T
+    srgb = np.where(lin > 0.0031308,
+                    1.055 * np.clip(lin, 0, None) ** (1 / 2.4) - 0.055,
+                    12.92 * lin)
+    return np.clip(srgb, 0.0, 1.0)
+
+
+def colorization_to_rgb(L_norm: np.ndarray, ab_norm: np.ndarray):
+    """Model-space (A = L/50-1, B = ab/110) -> RGB [0,1]
+    (colorization_model.py:48-63 lab2rgb)."""
+    lab = np.concatenate([(L_norm + 1.0) * 50.0, ab_norm * 110.0], axis=-1)
+    return lab_to_rgb(lab)
+
+
 class ColorizationDataset:
     """L-channel -> ab-channel pairs (data/colorization_dataset.py): A is
     L/50-1 (1ch), B is ab/110 (2ch)."""

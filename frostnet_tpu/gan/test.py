@@ -25,8 +25,10 @@ from .visualizer import HTMLGallery
 
 def main(args):
     logger = MetricLogger(None, name="gan-test")
-    netG = define_g(netG=args.netG, quantized=True)
-    sample = jnp.zeros((1, args.crop_size, args.crop_size, 3))
+    colorize = args.dataset == "colorization"
+    in_nc, out_nc = (1, 2) if colorize else (3, 3)
+    netG = define_g(output_nc=out_nc, netG=args.netG, quantized=True)
+    sample = jnp.zeros((1, args.crop_size, args.crop_size, in_nc))
     g_state = make_net_state(netG, qadam(2e-4), jax.random.PRNGKey(0), sample,
                              init_kwargs={"mode": QAT, "train": True})
     if args.checkpoint:
@@ -34,6 +36,10 @@ def main(args):
 
     if args.dataset == "synthetic":
         ds = SyntheticPairs(args.crop_size, args.num_test, 1, seed=1)
+    elif colorize:
+        from .data import ColorizationDataset
+        ds = ColorizationDataset(args.data_root, "test", 1,
+                                 args.crop_size, args.crop_size, seed=1)
     else:
         ds = AlignedDataset(args.data_root, "test", 1,
                             args.crop_size, args.crop_size, seed=1)
@@ -53,9 +59,21 @@ def main(args):
         a = jnp.asarray(batch["A"])
         fake_qat = np.asarray(qat_fn(g_state.variables, a))
         fake_int8 = np.asarray(int8_fn(g_state.variables, a))
-        gallery.add_images(
-            {"real_A": batch["A"], "fake_B_qat": fake_qat,
-             "fake_B_int8": fake_int8, "real_B": batch["B"]}, f"img{i:04d}")
+        if colorize:
+            # display like the reference (colorization_model.py:48-68):
+            # join the input L with real/fake ab and convert Lab -> RGB
+            from .data import colorization_to_rgb
+            L = np.asarray(batch["A"])
+            visuals = {
+                "real_A": np.repeat(L, 3, axis=-1),
+                "fake_B_qat": colorization_to_rgb(L, fake_qat) * 2 - 1,
+                "fake_B_int8": colorization_to_rgb(L, fake_int8) * 2 - 1,
+                "real_B": colorization_to_rgb(L, np.asarray(batch["B"])) * 2 - 1,
+            }
+        else:
+            visuals = {"real_A": batch["A"], "fake_B_qat": fake_qat,
+                       "fake_B_int8": fake_int8, "real_B": batch["B"]}
+        gallery.add_images(visuals, f"img{i:04d}")
         logger.info(f"[{i}] qat/int8 delta: "
                     f"{np.abs(fake_qat - fake_int8).max():.4f}")
     logger.info(f"gallery at {args.results_dir}/web/index.html")

@@ -222,3 +222,38 @@ def test_aligned_test_phase_is_serial_and_unflipped(tmp_path):
     got = [((b["A"][0] + 1) / 2 * 255) for b in ds]
     for want, have in zip(halves, got):
         np.testing.assert_allclose(have, want.astype(np.float32), atol=0.51)
+
+
+def test_lab_rgb_roundtrip():
+    """lab_to_rgb inverts rgb_to_lab (the skimage color.lab2rgb path the
+    reference display uses, colorization_model.py:48-63)."""
+    from frostnet_tpu.gan.data import lab_to_rgb, rgb_to_lab
+
+    rng = np.random.RandomState(0)
+    rgb = rng.rand(5, 7, 3).astype(np.float32)
+    back = lab_to_rgb(rgb_to_lab(rgb))
+    np.testing.assert_allclose(back, rgb, atol=2e-3)
+
+
+def test_gan_tester_colorization(tmp_path):
+    """--dataset colorization runs end-to-end: 1-ch L in, 2-ch ab out,
+    gallery displayed as Lab->RGB conversions (reference test.py +
+    colorization_model.py)."""
+    import argparse
+    from PIL import Image
+    from frostnet_tpu.gan import test as gan_test
+
+    (tmp_path / "test").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
+            tmp_path / "test" / f"{i}.png")
+    args = argparse.Namespace(
+        checkpoint=None, netG="resnet_6blocks", dataset="colorization",
+        data_root=str(tmp_path), crop_size=32, num_test=1,
+        direction="AtoB", results_dir=str(tmp_path / "results"),
+        export_int8=None)
+    gan_test.main(args)
+    assert (tmp_path / "results" / "web" / "index.html").exists()
+    imgs = os.listdir(tmp_path / "results" / "web" / "images")
+    assert any("fake_B_int8" in f for f in imgs)
