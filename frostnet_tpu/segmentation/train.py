@@ -27,7 +27,7 @@ from ..optim import get_optimizer, grouped_weight_decay, get_lr_scheduler
 from ..parallel import make_mesh, replicate
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from ..utils.losses import cross_entropy
+from ..utils.losses import binary_cross_entropy_with_logits, cross_entropy
 from ..utils.metrics import confusion_matrix, miou_from_confusion
 from ..train.state import QATTrainState, _prep_image, create_train_state
 from .data import (
@@ -63,6 +63,10 @@ class SegConfig:
     seed: int = 42
     save_dir: str = "./runs/segmentation"
     ignore_index: int = CITYSCAPES_IGNORE
+    loss_type: str = "ce"           # 'ce' | 'bce' (SegmentationLoss,
+                                    # segmentation_loss.py:15-18)
+    width_scale: Optional[float] = None  # espnet/espnetv2 channel scale
+                                    # (reference --s, train.py:340)
     loader: str = "python"          # "python" (PIL) | "native" (C++ pool:
                                     # PNG/JPEG decode + paired aug, uint8 out
                                     # normalized on device)
@@ -130,9 +134,21 @@ _dataset = build_seg_dataset  # back-compat alias
 
 
 def make_seg_train_step(model, mode, class_weights, ignore_index, num_classes,
-                        input_mean=None, input_std=None):
+                        input_mean=None, input_std=None, loss_type="ce"):
     weights = None if class_weights is None else jnp.asarray(class_weights)
     mutable = ["batch_stats"] + (["quant"] if mode.observe else [])
+
+    def seg_loss(logits, label):
+        if loss_type == "bce":
+            # SegmentationLoss bce branch (segmentation_loss.py:20-44):
+            # one-hot targets with ignore pixels as all-zero rows (one_hot
+            # of an out-of-range index is the zero vector), per-class
+            # weight on the elementwise loss
+            onehot = jax.nn.one_hot(label, num_classes, dtype=logits.dtype)
+            return binary_cross_entropy_with_logits(logits, onehot,
+                                                    weight=weights)
+        return cross_entropy(logits, label, class_weights=weights,
+                             ignore_index=ignore_index)
 
     def step(state: QATTrainState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
@@ -144,8 +160,7 @@ def make_seg_train_step(model, mode, class_weights, ignore_index, num_classes,
             logits, updates = model.apply(
                 variables, image, mode=mode, train=True,
                 mutable=mutable, rngs={"dropout": dropout_rng})
-            loss = cross_entropy(logits, batch["label"], class_weights=weights,
-                                 ignore_index=ignore_index)
+            loss = seg_loss(logits, batch["label"])
             return loss, (logits, updates)
 
         (loss, (logits, updates)), grads = jax.value_and_grad(
@@ -202,8 +217,11 @@ def main(cfg: SegConfig):
 
     # LR-ASPP pool geometry follows the dataset (LRASPP.py pool sizes:
     # city (37,12), pascal/other (25,8))
-    model = get_seg_model(cfg.model, num_classes=cfg.num_classes,
-                          dataset="city" if cfg.dataset != "pascal" else "pascal")
+    model_kw = dict(num_classes=cfg.num_classes,
+                    dataset="city" if cfg.dataset != "pascal" else "pascal")
+    if cfg.width_scale is not None:  # espnet/espnetv2 --s channel scale
+        model_kw["s"] = cfg.width_scale
+    model = get_seg_model(cfg.model, **model_kw)
     schedule = get_lr_scheduler(cfg.scheduler, base_lr=cfg.learning_rate,
                                 total_steps=total_steps, power=cfg.power) \
         if cfg.scheduler == "poly" else get_lr_scheduler(
@@ -251,12 +269,14 @@ def main(cfg: SegConfig):
         logger.info(f"resumed from {ckpt_path} at qat epoch {start_epoch} "
                     f"(step {int(state.step)}, best_miou {best:.4f})")
     else:
-        fp_step = make_seg_train_step(model, FP32, class_weights, cfg.ignore_index, cfg.num_classes)
+        fp_step = make_seg_train_step(model, FP32, class_weights, cfg.ignore_index,
+                                      cfg.num_classes, loss_type=cfg.loss_type)
         for epoch in range(cfg.fp_epochs):
             run_epoch(fp_step, "fp_warmup", epoch)
     state = state.start_qat()  # idempotent on resume
 
-    qat_step = make_seg_train_step(model, QAT, class_weights, cfg.ignore_index, cfg.num_classes)
+    qat_step = make_seg_train_step(model, QAT, class_weights, cfg.ignore_index,
+                                   cfg.num_classes, loss_type=cfg.loss_type)
     for epoch in range(start_epoch, cfg.epochs):
         run_epoch(qat_step, "qat", epoch)
         val = evaluate_seg(model, state, val_ds, mesh, QAT_FROZEN, cfg, cfg.steps_per_epoch)
@@ -284,7 +304,8 @@ def cli():
             p.add_argument("--steps_per_epoch", type=int, default=None)
         else:
             p.add_argument(f"--{f.name}", type={"int": int, "float": float, "str": str,
-                                                "Optional[int]": int}.get(str(f.type), str),
+                                                "Optional[int]": int,
+                                                "Optional[float]": float}.get(str(f.type), str),
                            default=None)
     args = p.parse_args()
     cfg = SegConfig()

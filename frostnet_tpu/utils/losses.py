@@ -39,14 +39,21 @@ def cross_entropy(
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
-def binary_cross_entropy_with_logits(logits, targets, pos_weight=None):
-    """BCEWithLogits (SegmentationLoss bce branch, segmentation_loss.py:20-35)."""
+def binary_cross_entropy_with_logits(logits, targets, pos_weight=None,
+                                     weight=None):
+    """BCEWithLogits (SegmentationLoss bce branch, segmentation_loss.py:20-35).
+
+    ``pos_weight`` scales the positive term (torch pos_weight); ``weight``
+    rescales the ELEMENTWISE loss before the mean (torch's ``weight=`` —
+    per-class when shaped (C,) against NHWC logits)."""
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
     if pos_weight is not None:
         loss = -(pos_weight * targets * log_p + (1 - targets) * log_not_p)
     else:
         loss = -(targets * log_p + (1 - targets) * log_not_p)
+    if weight is not None:
+        loss = loss * weight
     return jnp.mean(loss)
 
 
