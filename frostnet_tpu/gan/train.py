@@ -52,6 +52,10 @@ class GANConfig:
     lambda_b: float = 10.0
     lambda_idt: float = 0.5
     pool_size: int = 50
+    n_epochs_decay: int = 0      # linear lr_policy: keep lr for `epochs`
+                                 # QAT epochs then decay to ~0 over this many
+                                 # more (networks.py:143-147 lambda_rule;
+                                 # reference default 100+100)
     q_optim: bool = True         # GradBoost QAdam on G (default True)
     clip_by: float = 1e-3
     steps_per_epoch: Optional[int] = None
@@ -78,10 +82,28 @@ def _dataset(cfg: GANConfig):
                           cfg.load_size, cfg.crop_size, cfg.seed)
 
 
-def _g_optimizer(cfg: GANConfig):
+def _gan_lr_schedule(cfg: GANConfig, steps_per_epoch: int):
+    """The reference's 'linear' lr_policy (networks.py:143-147): constant lr
+    for cfg.epochs QAT epochs, then linear decay toward zero over
+    cfg.n_epochs_decay more; FP warm-up steps hold the base lr. Stepped per
+    epoch like LambdaLR (update_learning_rate at each epoch end)."""
+    if cfg.n_epochs_decay <= 0:
+        return cfg.lr
+    warm = cfg.fp_epochs * steps_per_epoch
+
+    def sched(count):
+        qat_epoch = jnp.maximum(count - warm, 0) // steps_per_epoch + 1
+        mult = 1.0 - jnp.maximum(0.0, qat_epoch - cfg.epochs) / (cfg.n_epochs_decay + 1.0)
+        return cfg.lr * jnp.clip(mult, 0.0, 1.0)
+
+    return sched
+
+
+def _g_optimizer(cfg: GANConfig, lr=None):
+    lr = cfg.lr if lr is None else lr
     if cfg.q_optim:
-        return qadam(cfg.lr, b1=cfg.beta1, clip_by=cfg.clip_by, seed=cfg.seed)
-    return adam(cfg.lr, b1=cfg.beta1)
+        return qadam(lr, b1=cfg.beta1, clip_by=cfg.clip_by, seed=cfg.seed)
+    return adam(lr, b1=cfg.beta1)
 
 
 def train_pix2pix(cfg: GANConfig, logger):
@@ -93,9 +115,10 @@ def train_pix2pix(cfg: GANConfig, logger):
     sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, in_nc))
     sample_b = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, out_nc))
 
-    g_state = make_net_state(netG, _g_optimizer(cfg), rng, sample,
+    lr = _gan_lr_schedule(cfg, cfg.steps_per_epoch or len(ds))
+    g_state = make_net_state(netG, _g_optimizer(cfg, lr), rng, sample,
                              init_kwargs={"mode": QAT, "train": True})
-    d_state = make_net_state(netD, adam(cfg.lr, b1=cfg.beta1), rng,
+    d_state = make_net_state(netD, adam(lr, b1=cfg.beta1), rng,
                              jnp.concatenate([sample, sample_b], -1),
                              init_kwargs={"train": True})
 
@@ -133,7 +156,7 @@ def train_pix2pix(cfg: GANConfig, logger):
         run_phase(FP32, cfg.fp_epochs, "fp_warmup")
     # idempotent on resume (the restored opt_state is already out of warm-up)
     g_state = g_state.replace(opt_state=set_warmup(g_state.opt_state, False))
-    run_phase(QAT, cfg.epochs, "qat")
+    run_phase(QAT, cfg.epochs + cfg.n_epochs_decay, "qat")
     return g_state, d_state
 
 
@@ -146,14 +169,15 @@ def train_cyclegan(cfg: GANConfig, logger):
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, 3))
 
-    g_tx = _g_optimizer(cfg)  # joint over both generators (cycle_gan_model.py:94-95)
+    lr = _gan_lr_schedule(cfg, cfg.steps_per_epoch or len(ds))
+    g_tx = _g_optimizer(cfg, lr)  # joint over both generators (cycle_gan_model.py:94-95)
     gA = make_net_state(netG_A, g_tx, rng, sample, init_kwargs={"mode": QAT, "train": True})
     gB = make_net_state(netG_B, g_tx, jax.random.fold_in(rng, 1), sample,
                         init_kwargs={"mode": QAT, "train": True})
     joint_opt_state = g_tx.init((gA.params, gB.params))
-    dA = make_net_state(netD_A, adam(cfg.lr, b1=cfg.beta1), rng, sample,
+    dA = make_net_state(netD_A, adam(lr, b1=cfg.beta1), rng, sample,
                         init_kwargs={"train": True})
-    dB = make_net_state(netD_B, adam(cfg.lr, b1=cfg.beta1),
+    dB = make_net_state(netD_B, adam(lr, b1=cfg.beta1),
                         jax.random.fold_in(rng, 2), sample,
                         init_kwargs={"train": True})
     pool_a, pool_b = ImagePool(cfg.pool_size, cfg.seed), ImagePool(cfg.pool_size, cfg.seed + 1)
@@ -189,7 +213,7 @@ def train_cyclegan(cfg: GANConfig, logger):
 
     run_phase(FP32, cfg.fp_epochs, "fp_warmup")
     joint_opt_state = set_warmup(joint_opt_state, False)
-    run_phase(QAT, cfg.epochs, "qat")
+    run_phase(QAT, cfg.epochs + cfg.n_epochs_decay, "qat")
     return (gA, gB), (dA, dB)
 
 

@@ -257,3 +257,42 @@ def test_gan_tester_colorization(tmp_path):
     assert (tmp_path / "results" / "web" / "index.html").exists()
     imgs = os.listdir(tmp_path / "results" / "web" / "images")
     assert any("fake_B_int8" in f for f in imgs)
+
+
+def test_gan_linear_lr_schedule_matches_lambda_rule():
+    """lr_policy 'linear' (networks.py:143-147): constant for `epochs` QAT
+    epochs then linear decay toward zero over n_epochs_decay; warm-up steps
+    hold the base lr. Compare against the reference lambda_rule evaluated
+    per epoch."""
+    from frostnet_tpu.gan.train import GANConfig, _gan_lr_schedule
+
+    cfg = GANConfig(lr=2e-4, fp_epochs=1, epochs=3, n_epochs_decay=4,
+                    steps_per_epoch=5)
+    sched = _gan_lr_schedule(cfg, 5)
+
+    def lambda_rule(epoch):  # reference, epoch_count=1
+        return 1.0 - max(0, epoch + 1 - cfg.epochs) / float(cfg.n_epochs_decay + 1)
+
+    # warm-up steps: base lr
+    for count in range(5):
+        np.testing.assert_allclose(float(sched(count)), cfg.lr, rtol=1e-6)
+    # QAT epoch e (1-based) runs at the multiplier AFTER e-1 epoch-end updates
+    for e in range(1, cfg.epochs + cfg.n_epochs_decay + 1):
+        count = 5 + (e - 1) * 5 + 2  # a step inside QAT epoch e
+        want = cfg.lr * lambda_rule(e - 1)
+        np.testing.assert_allclose(float(sched(count)), want, rtol=1e-6)
+    # decay reaches 1/(n+1) of base on the last epoch, ~0 after
+    assert float(sched(5 + (cfg.epochs + cfg.n_epochs_decay) * 5)) < cfg.lr * 0.21
+
+
+def test_gan_trainer_accepts_decay_epochs():
+    """n_epochs_decay extends QAT with the schedule threaded through qadam
+    (optax schedules); one tiny pix2pix run exercises it end-to-end."""
+    from frostnet_tpu.gan.train import GANConfig, train_pix2pix
+    from frostnet_tpu.utils.logging import MetricLogger
+
+    cfg = GANConfig(dataset="synthetic", crop_size=32, batch_size=2,
+                    epochs=1, fp_epochs=1, n_epochs_decay=1,
+                    steps_per_epoch=2, netG="resnet_6blocks")
+    g_state, d_state = train_pix2pix(cfg, MetricLogger(None, name="t"))
+    assert int(np.asarray(g_state.step if hasattr(g_state, "step") else 0) or 0) >= 0
