@@ -122,14 +122,21 @@ class ResnetGenerator(fnn.Module):
 
 
 class NLayerDiscriminator(fnn.Module):
-    """PatchGAN discriminator (networks.py:553-599), float-only."""
+    """PatchGAN discriminator (networks.py:553-599), float-only.
+
+    ``norm``: 'batch' (pix2pix default, pix2pix_model.py:32) or 'none'
+    (this reference repo's base default, base_options.py:36 — what
+    cyclegan gets). The reference's Ds honor the flag even though the
+    quantized generator core does not (see define_g)."""
 
     ndf: int = 64
     n_layers: int = 3
+    norm: str = "batch"
     dtype: Any = jnp.float32
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
+        use_bn = self.norm == "batch"
         kw = dict(quantized=False, dtype=self.dtype,
                   kernel_init=GAN_KERNEL_INIT, bn_scale_init=_gan_bn_scale_init)
         x = QConvBNAct(self.ndf, 4, strides=2, padding=1, use_bn=False,
@@ -139,11 +146,11 @@ class NLayerDiscriminator(fnn.Module):
         for n in range(1, self.n_layers):
             nf = min(2 ** n, 8)
             x = QConvBNAct(self.ndf * nf, 4, strides=2, padding=1, act=None,
-                           name=f"conv{n}", **kw)(x, train=train)
+                           use_bn=use_bn, name=f"conv{n}", **kw)(x, train=train)
             x = fnn.leaky_relu(x, 0.2)
         nf = min(2 ** self.n_layers, 8)
         x = QConvBNAct(self.ndf * nf, 4, strides=1, padding=1, act=None,
-                       name=f"conv{self.n_layers}", **kw)(x, train=train)
+                       use_bn=use_bn, name=f"conv{self.n_layers}", **kw)(x, train=train)
         x = fnn.leaky_relu(x, 0.2)
         return QConvBNAct(1, 4, strides=1, padding=1, use_bn=False, use_bias=True,
                           act=None, name="out", **kw)(x, train=train)
@@ -153,6 +160,7 @@ class PixelDiscriminator(fnn.Module):
     """1x1 PatchGAN (networks.py:601+), float-only."""
 
     ndf: int = 64
+    norm: str = "batch"
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -162,9 +170,12 @@ class PixelDiscriminator(fnn.Module):
         x = QConvBNAct(self.ndf, 1, use_bn=False, use_bias=True, act=None,
                        name="conv0", **kw)(x, train=train)
         x = fnn.leaky_relu(x, 0.2)
-        x = QConvBNAct(self.ndf * 2, 1, act=None, name="conv1", **kw)(x, train=train)
+        x = QConvBNAct(self.ndf * 2, 1, act=None, use_bn=self.norm == "batch",
+                       name="conv1", **kw)(x, train=train)
         x = fnn.leaky_relu(x, 0.2)
-        return QConvBNAct(1, 1, use_bn=False, use_bias=True, act=None,
+        # out conv bias follows the reference's use_bias rule (False for
+        # batch/none, networks.py:613-626)
+        return QConvBNAct(1, 1, use_bn=False, use_bias=False, act=None,
                           name="out", **kw)(x, train=train)
 
 
@@ -197,7 +208,13 @@ def gradient_penalty(d_apply, d_vars, real, fake, rng, constant=1.0, lambda_gp=1
 
 def define_g(output_nc=3, ngf=64, netG="resnet_6blocks", use_dropout=False,
              quantized=True, qconfig=QNNPACK):
-    """Generator factory (networks.py:211-252)."""
+    """Generator factory (networks.py:211-252).
+
+    No ``norm`` knob on purpose: the reference's quantized generator core
+    hardcodes BatchNorm regardless of --norm (define_G passes a
+    functools.partial into wrappers that compare against the STRING 'none',
+    networks.py:11-19/110-127/239-242), so BN-always IS the reference
+    behavior; only the discriminators honor the flag (see define_d)."""
     if netG == "resnet_6blocks":
         return ResnetGenerator(output_nc, ngf, 6, use_dropout, quantized, qconfig)
     if netG == "resnet_9blocks":
@@ -207,12 +224,18 @@ def define_g(output_nc=3, ngf=64, netG="resnet_6blocks", use_dropout=False,
                      "default is resnet_6blocks, pix2pix_model.py:32)")
 
 
-def define_d(ndf=64, netD="basic", n_layers=3):
-    """Discriminator factory (networks.py:254-299)."""
+def define_d(ndf=64, netD="basic", n_layers=3, norm="batch"):
+    """Discriminator factory (networks.py:254-299). ``norm``: 'batch'
+    (pix2pix) or 'none' (the repo base default — cyclegan's Ds have no
+    norm layers and bias-free middle convs). The reference also lists
+    'instance', but its quantized conv wrappers degrade instance to none
+    (networks.py:53) — pass 'none' for that behavior."""
+    if norm not in ("batch", "none"):
+        raise ValueError(f"norm must be batch|none, got {norm!r}")
     if netD == "basic":
-        return NLayerDiscriminator(ndf, 3)
+        return NLayerDiscriminator(ndf, 3, norm=norm)
     if netD == "n_layers":
-        return NLayerDiscriminator(ndf, n_layers)
+        return NLayerDiscriminator(ndf, n_layers, norm=norm)
     if netD == "pixel":
-        return PixelDiscriminator(ndf)
+        return PixelDiscriminator(ndf, norm=norm)
     raise ValueError(f"unknown discriminator {netD!r}")

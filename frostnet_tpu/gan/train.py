@@ -38,6 +38,10 @@ class GANConfig:
     data_root: str = "./datasets/facades"
     netG: str = "resnet_6blocks"
     gan_mode: str = "lsgan"      # pix2pix reference default is vanilla; lsgan for cyclegan
+    norm: Optional[str] = None   # discriminator norm: 'batch' | 'none';
+                                 # default batch for pix2pix
+                                 # (pix2pix_model.py:32), none for cyclegan
+                                 # (base_options.py:36 repo default)
     direction: str = "AtoB"      # AtoB | BtoA (base_options.py:42; BtoA
                                  # swaps the domains at set_input)
     crop_size: int = 256
@@ -110,7 +114,7 @@ def train_pix2pix(cfg: GANConfig, logger):
     ds = _dataset(cfg)
     in_nc, out_nc = (1, 2) if cfg.dataset == "colorization" else (3, 3)
     netG = define_g(output_nc=out_nc, netG=cfg.netG, quantized=True)
-    netD = define_d(netD="basic")
+    netD = define_d(netD="basic", norm=cfg.norm or "batch")
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, in_nc))
     sample_b = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, out_nc))
@@ -164,8 +168,8 @@ def train_cyclegan(cfg: GANConfig, logger):
     ds = _dataset(cfg)
     netG_A = define_g(netG=cfg.netG, quantized=True)
     netG_B = define_g(netG=cfg.netG, quantized=True)
-    netD_A = define_d(netD="basic")
-    netD_B = define_d(netD="basic")
+    netD_A = define_d(netD="basic", norm=cfg.norm or "none")
+    netD_B = define_d(netD="basic", norm=cfg.norm or "none")
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, 3))
 
