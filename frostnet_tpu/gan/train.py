@@ -37,6 +37,10 @@ class GANConfig:
     dataset: str = "synthetic"
     data_root: str = "./datasets/facades"
     netG: str = "resnet_6blocks"
+    netD: str = "basic"          # basic | n_layers | pixel (base_options.py)
+    n_layers_d: int = 3          # --n_layers_D (used with netD=n_layers)
+    ngf: int = 64
+    ndf: int = 64
     gan_mode: str = "lsgan"      # pix2pix reference default is vanilla; lsgan for cyclegan
     norm: Optional[str] = None   # discriminator norm: 'batch' | 'none';
                                  # default batch for pix2pix
@@ -113,8 +117,9 @@ def _g_optimizer(cfg: GANConfig, lr=None):
 def train_pix2pix(cfg: GANConfig, logger):
     ds = _dataset(cfg)
     in_nc, out_nc = (1, 2) if cfg.dataset == "colorization" else (3, 3)
-    netG = define_g(output_nc=out_nc, netG=cfg.netG, quantized=True)
-    netD = define_d(netD="basic", norm=cfg.norm or "batch")
+    netG = define_g(output_nc=out_nc, ngf=cfg.ngf, netG=cfg.netG, quantized=True)
+    netD = define_d(ndf=cfg.ndf, netD=cfg.netD, n_layers=cfg.n_layers_d,
+                    norm=cfg.norm or "batch")
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, in_nc))
     sample_b = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, out_nc))
@@ -166,10 +171,12 @@ def train_pix2pix(cfg: GANConfig, logger):
 
 def train_cyclegan(cfg: GANConfig, logger):
     ds = _dataset(cfg)
-    netG_A = define_g(netG=cfg.netG, quantized=True)
-    netG_B = define_g(netG=cfg.netG, quantized=True)
-    netD_A = define_d(netD="basic", norm=cfg.norm or "none")
-    netD_B = define_d(netD="basic", norm=cfg.norm or "none")
+    netG_A = define_g(ngf=cfg.ngf, netG=cfg.netG, quantized=True)
+    netG_B = define_g(ngf=cfg.ngf, netG=cfg.netG, quantized=True)
+    netD_A = define_d(ndf=cfg.ndf, netD=cfg.netD, n_layers=cfg.n_layers_d,
+                      norm=cfg.norm or "none")
+    netD_B = define_d(ndf=cfg.ndf, netD=cfg.netD, n_layers=cfg.n_layers_d,
+                      norm=cfg.norm or "none")
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, cfg.crop_size, cfg.crop_size, 3))
 
