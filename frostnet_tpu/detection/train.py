@@ -47,6 +47,8 @@ class DetConfig:
     weight_decay: float = 5e-4
     gamma: float = 0.1
     optim: str = "QSGD"
+    quant: bool = True              # --quant false trains plain FP32 SSD
+                                    # end-to-end (qtrainval.py --quant)
     clip_by: float = 1e-3
     max_iter: Optional[int] = None      # default from cfg
     warmup_iters: Optional[int] = None  # default 2 epochs
@@ -180,7 +182,8 @@ def main(cfg: DetConfig):
         rng=rng, tx=tx)
 
     fp_step = make_det_train_step(feat, head, FP32, priors, cfg.num_classes)
-    qat_step = make_det_train_step(feat, head, QAT, priors, cfg.num_classes)
+    qat_step = make_det_train_step(feat, head, QAT if cfg.quant else FP32,
+                                   priors, cfg.num_classes)
 
     it = 0
     if cfg.resume_iter:
@@ -232,6 +235,7 @@ def cli():
     p = argparse.ArgumentParser(description=__doc__)
     for f in dataclasses.fields(DetConfig):
         typ = {"int": int, "float": float, "str": str,
+               "bool": lambda v: v.lower() in ("1", "true", "yes"),
                "Optional[int]": int}.get(str(f.type), str)
         p.add_argument(f"--{f.name}", type=typ, default=None)
     args = p.parse_args()
