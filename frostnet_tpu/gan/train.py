@@ -60,6 +60,8 @@ class GANConfig:
     lambda_b: float = 10.0
     lambda_idt: float = 0.5
     pool_size: int = 50
+    save_epoch_freq: int = 5     # save latest_* every N QAT epochs
+                                 # (train_options.py save_epoch_freq=5)
     n_epochs_decay: int = 0      # linear lr_policy: keep lr for `epochs`
                                  # QAT epochs then decay to ~0 over this many
                                  # more (networks.py:143-147 lambda_rule;
@@ -160,6 +162,11 @@ def train_pix2pix(cfg: GANConfig, logger):
                 metrics = {**{k: float(v) for k, v in md.items()},
                            **{k: float(v) for k, v in mg.items()}}
             logger.info(f"[{tag} {epoch}] {metrics}")
+            if tag == "qat" and (epoch + 1) % cfg.save_epoch_freq == 0:
+                # periodic latest_* cache (reference train.py:111-113) so
+                # --continue_train works after interruption
+                save_checkpoint(os.path.join(cfg.save_dir, "latest_G"), g_state)
+                save_checkpoint(os.path.join(cfg.save_dir, "latest_D"), d_state)
 
     if not resumed:
         run_phase(FP32, cfg.fp_epochs, "fp_warmup")
