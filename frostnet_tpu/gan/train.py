@@ -200,6 +200,19 @@ def train_cyclegan(cfg: GANConfig, logger):
                         init_kwargs={"train": True})
     pool_a, pool_b = ImagePool(cfg.pool_size, cfg.seed), ImagePool(cfg.pool_size, cfg.seed + 1)
 
+    resumed = False
+    if cfg.continue_train and os.path.exists(os.path.join(cfg.save_dir, "latest_D_B")):
+        from ..utils.checkpoint import restore_checkpoint
+        gA = restore_checkpoint(os.path.join(cfg.save_dir, "latest_G_A"), gA)
+        gB = restore_checkpoint(os.path.join(cfg.save_dir, "latest_G_B"), gB)
+        dA = restore_checkpoint(os.path.join(cfg.save_dir, "latest_D_A"), dA)
+        dB = restore_checkpoint(os.path.join(cfg.save_dir, "latest_D_B"), dB)
+        joint_opt_state = restore_checkpoint(
+            os.path.join(cfg.save_dir, "latest_opt_G"), joint_opt_state)
+        resumed = True
+        logger.info(f"continue_train: restored all four nets + joint G "
+                    f"optimizer from {cfg.save_dir}")
+
     # dp mesh over all four nets (reference init_net DataParallel,
     # networks.py:207-208); the ImagePool stays host-side and its samples
     # re-shard on the way back in.
@@ -228,11 +241,23 @@ def train_cyclegan(cfg: GANConfig, logger):
                 metrics = {**{k: float(v) for k, v in mg.items()},
                            "loss_D_A": float(loss_da), "loss_D_B": float(loss_db)}
             logger.info(f"[{tag} {epoch}] {metrics}")
+            if tag == "qat" and (epoch + 1) % cfg.save_epoch_freq == 0:
+                _save_cyclegan(cfg.save_dir, gA, gB, dA, dB, joint_opt_state)
 
-    run_phase(FP32, cfg.fp_epochs, "fp_warmup")
+    if not resumed:
+        run_phase(FP32, cfg.fp_epochs, "fp_warmup")
     joint_opt_state = set_warmup(joint_opt_state, False)
     run_phase(QAT, cfg.epochs + cfg.n_epochs_decay, "qat")
-    return (gA, gB), (dA, dB)
+    return (gA, gB), (dA, dB), joint_opt_state
+
+
+def _save_cyclegan(save_dir, gA, gB, dA, dB, joint_opt_state):
+    """All four nets + the joint G optimizer (base_model save_networks
+    covers every net; the joint opt state is ours to persist)."""
+    for name, st in (("latest_G_A", gA), ("latest_G_B", gB),
+                     ("latest_D_A", dA), ("latest_D_B", dB),
+                     ("latest_opt_G", joint_opt_state)):
+        save_checkpoint(os.path.join(save_dir, name), st)
 
 
 def main(cfg: GANConfig):
@@ -244,9 +269,8 @@ def main(cfg: GANConfig):
         save_checkpoint(os.path.join(cfg.save_dir, "latest_G"), g)
         save_checkpoint(os.path.join(cfg.save_dir, "latest_D"), d)
     elif cfg.model == "cycle_gan":
-        (gA, gB), _ = train_cyclegan(cfg, logger)
-        save_checkpoint(os.path.join(cfg.save_dir, "latest_G_A"), gA)
-        save_checkpoint(os.path.join(cfg.save_dir, "latest_G_B"), gB)
+        (gA, gB), (dA, dB), joint_opt_state = train_cyclegan(cfg, logger)
+        _save_cyclegan(cfg.save_dir, gA, gB, dA, dB, joint_opt_state)
     else:
         raise ValueError(f"unknown model {cfg.model!r}")
     logger.info("done")
