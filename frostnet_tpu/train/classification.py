@@ -146,8 +146,9 @@ def _run_epoch(step_fn, state, dataset, mesh, epoch, tag, logger, log_every, max
     return state, summary
 
 
-def evaluate(model, state, dataset, mesh, mode, num_classes, max_steps=None):
-    eval_step = make_eval_step(model, mode, num_classes)
+def evaluate(model, state, dataset, mesh, mode, num_classes, max_steps=None,
+             use_ema=False):
+    eval_step = make_eval_step(model, mode, num_classes, use_ema=use_ema)
     meters = {}
     for i, batch in enumerate(prefetch_to_device(iter(dataset), mesh)):
         if max_steps is not None and i >= max_steps:

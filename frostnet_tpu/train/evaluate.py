@@ -75,8 +75,15 @@ def main(args):
             batches.append(b)
         state = recalibrate(model, state, batches)
 
-    qat = evaluate(model, state, ds, mesh, QAT_FROZEN, args.num_classes)
-    int8 = evaluate(model, state, ds, mesh, INT8, args.num_classes)
+    use_ema = bool(getattr(args, "use_ema", False))
+    if use_ema and getattr(state, "ema", None) is None:
+        logger.info("--use_ema requested but the checkpoint has no EMA "
+                    "params; evaluating the raw weights")
+        use_ema = False
+    qat = evaluate(model, state, ds, mesh, QAT_FROZEN, args.num_classes,
+                   use_ema=use_ema)
+    int8 = evaluate(model, state, ds, mesh, INT8, args.num_classes,
+                    use_ema=use_ema)
     logger.info(f"Accuracy(QAT sim): top1={qat.get('top1', 0):.4f} "
                 f"top5={qat.get('top5', 0):.4f}")
     logger.info(f"Accuracy(INT8 frozen): top1={int8.get('top1', 0):.4f} "
@@ -109,6 +116,9 @@ def cli():
     p.add_argument("--num_classes", type=int, default=1000)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--use_ema", action="store_true",
+                   help="evaluate the EMA weights (the published recipe "
+                        "validates model-ema, training_commands.txt)")
     p.add_argument("--calib_batches", type=int, default=0,
                    help="forward-only BN/observer recalibration batches before eval")
     p.add_argument("--export_int8", default=None, metavar="PATH",
