@@ -185,3 +185,24 @@ def test_voc_val_resizes_variable_size_images(tmp_path):
     assert batch["image"].shape == (2, 24, 24, 3)
     assert batch["label"].shape == (2, 24, 24)
     assert set(np.unique(batch["label"])) <= set(range(21)) | {255}
+
+
+def test_corrupt_and_missing_files_degrade_not_crash(tmp_path):
+    """libjpeg/libpng failures longjmp back and the item degrades to a
+    zero image / ignore mask instead of killing the worker (NATIVE.md
+    failure containment)."""
+    imgs, masks, pi, pm = _write_pairs(str(tmp_path), n=4, size=(20, 20))
+    # corrupt one image (truncate), point one mask at a missing file
+    with open(pi[1], "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n\x00\x00")  # valid signature, garbage body
+    pm[2] = str(tmp_path / "missing.png")
+    ld = NativeSegmentationLoader(pi, pm, crop_size=(20, 20), batch_size=4,
+                                  train=False, threads=1, seed=0)
+    b = next(iter(ld))
+    # item 1 (bad image) and item 2 (missing mask) degrade to zero/ignore
+    for i in (1, 2):
+        assert (b["image"][i] == 0).all()
+        assert (b["label"][i] == 255).all()
+    # intact items decode normally
+    np.testing.assert_array_equal(b["image"][0], imgs[0])
+    np.testing.assert_array_equal(b["label"][3], masks[3].astype(np.int32))
