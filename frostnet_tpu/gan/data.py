@@ -227,25 +227,31 @@ class ColorizationDataset:
     L/50-1 (1ch), B is ab/110 (2ch)."""
 
     def __init__(self, root, phase="train", batch_size=1, load_size=286,
-                 crop_size=256, seed=0):
+                 crop_size=256, seed=0, shuffle=None, flip=None):
         self.paths = _list_images(os.path.join(root, phase))
         if not self.paths:
             raise FileNotFoundError(f"no images under {root}/{phase}")
         self.batch_size = batch_size
         self.load_size, self.crop_size = load_size, crop_size
         self.seed = seed
+        # same test protocol as AlignedDataset: serial + no flip outside
+        # train (reference test.py:43-44)
+        self.shuffle = (phase == "train") if shuffle is None else shuffle
+        self.flip = (phase == "train") if flip is None else flip
 
     def __len__(self):
         return len(self.paths) // self.batch_size
 
     def __iter__(self):
         rng = np.random.RandomState(self.seed)
-        order = rng.permutation(len(self.paths))
+        order = rng.permutation(len(self.paths)) if self.shuffle \
+            else np.arange(len(self.paths))
         for b in range(len(self)):
             As, Bs = [], []
             for i in range(self.batch_size):
                 p = self.paths[order[b * self.batch_size + i]]
-                rgb = (_load_transform(p, rng, self.load_size, self.crop_size) + 1) / 2
+                rgb = (_load_transform(p, rng, self.load_size, self.crop_size,
+                                       flip=self.flip) + 1) / 2
                 lab = rgb_to_lab(rgb.astype(np.float32))
                 As.append(lab[..., :1] / 50.0 - 1.0)
                 Bs.append(lab[..., 1:] / 110.0)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 from typing import Optional
 
@@ -133,13 +134,18 @@ def train_pix2pix(cfg: GANConfig, logger):
                              jnp.concatenate([sample, sample_b], -1),
                              init_kwargs={"train": True})
 
-    resumed = False
+    resumed, start_epoch = False, 0
+    meta_path = os.path.join(cfg.save_dir, "gan_meta.json")
     if cfg.continue_train and os.path.exists(os.path.join(cfg.save_dir, "latest_D")):
         from ..utils.checkpoint import restore_checkpoint
         g_state = restore_checkpoint(os.path.join(cfg.save_dir, "latest_G"), g_state)
         d_state = restore_checkpoint(os.path.join(cfg.save_dir, "latest_D"), d_state)
         resumed = True
-        logger.info(f"continue_train: restored latest_G/latest_D from {cfg.save_dir}")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                start_epoch = json.load(f).get("qat_epoch", 0)
+        logger.info(f"continue_train: restored latest_G/latest_D from "
+                    f"{cfg.save_dir} (qat epoch {start_epoch})")
 
     # dp mesh over both nets — the reference DataParallels every net through
     # init_net (networks.py:207-208); here the states replicate and the batch
@@ -147,10 +153,10 @@ def train_pix2pix(cfg: GANConfig, logger):
     mesh = make_dp_mesh(cfg.batch_size)
     g_state, d_state = replicate(g_state, mesh), replicate(d_state, mesh)
 
-    def run_phase(mode, epochs, tag):
+    def run_phase(mode, epochs, tag, start=0):
         nonlocal g_state, d_state
         d_step, g_step = make_pix2pix_steps(netG, netD, mode, cfg.gan_mode, cfg.lambda_l1)
-        for epoch in range(epochs):
+        for epoch in range(start, epochs):
             metrics = {}
             for i, batch in enumerate(ds):
                 if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
@@ -162,17 +168,20 @@ def train_pix2pix(cfg: GANConfig, logger):
                 metrics = {**{k: float(v) for k, v in md.items()},
                            **{k: float(v) for k, v in mg.items()}}
             logger.info(f"[{tag} {epoch}] {metrics}")
-            if tag == "qat" and (epoch + 1) % cfg.save_epoch_freq == 0:
+            if tag == "qat" and cfg.save_epoch_freq > 0 and \
+                    (epoch + 1) % cfg.save_epoch_freq == 0:
                 # periodic latest_* cache (reference train.py:111-113) so
                 # --continue_train works after interruption
                 save_checkpoint(os.path.join(cfg.save_dir, "latest_G"), g_state)
                 save_checkpoint(os.path.join(cfg.save_dir, "latest_D"), d_state)
+                with open(meta_path, "w") as f:
+                    json.dump({"qat_epoch": epoch + 1}, f)
 
     if not resumed:
         run_phase(FP32, cfg.fp_epochs, "fp_warmup")
     # idempotent on resume (the restored opt_state is already out of warm-up)
     g_state = g_state.replace(opt_state=set_warmup(g_state.opt_state, False))
-    run_phase(QAT, cfg.epochs + cfg.n_epochs_decay, "qat")
+    run_phase(QAT, cfg.epochs + cfg.n_epochs_decay, "qat", start=start_epoch)
     return g_state, d_state
 
 
@@ -200,7 +209,8 @@ def train_cyclegan(cfg: GANConfig, logger):
                         init_kwargs={"train": True})
     pool_a, pool_b = ImagePool(cfg.pool_size, cfg.seed), ImagePool(cfg.pool_size, cfg.seed + 1)
 
-    resumed = False
+    resumed, start_epoch = False, 0
+    meta_path = os.path.join(cfg.save_dir, "gan_meta.json")
     if cfg.continue_train and os.path.exists(os.path.join(cfg.save_dir, "latest_D_B")):
         from ..utils.checkpoint import restore_checkpoint
         gA = restore_checkpoint(os.path.join(cfg.save_dir, "latest_G_A"), gA)
@@ -210,8 +220,11 @@ def train_cyclegan(cfg: GANConfig, logger):
         joint_opt_state = restore_checkpoint(
             os.path.join(cfg.save_dir, "latest_opt_G"), joint_opt_state)
         resumed = True
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                start_epoch = json.load(f).get("qat_epoch", 0)
         logger.info(f"continue_train: restored all four nets + joint G "
-                    f"optimizer from {cfg.save_dir}")
+                    f"optimizer from {cfg.save_dir} (qat epoch {start_epoch})")
 
     # dp mesh over all four nets (reference init_net DataParallel,
     # networks.py:207-208); the ImagePool stays host-side and its samples
@@ -220,12 +233,12 @@ def train_cyclegan(cfg: GANConfig, logger):
     gA, gB, dA, dB = (replicate(s, mesh) for s in (gA, gB, dA, dB))
     joint_opt_state = replicate(joint_opt_state, mesh)
 
-    def run_phase(mode, epochs, tag):
+    def run_phase(mode, epochs, tag, start=0):
         nonlocal gA, gB, dA, dB, joint_opt_state
         g_step, d_step = make_cyclegan_steps(
             netG_A, netG_B, netD_A, netD_B, mode, cfg.gan_mode,
             cfg.lambda_a, cfg.lambda_b, cfg.lambda_idt)
-        for epoch in range(epochs):
+        for epoch in range(start, epochs):
             metrics = {}
             for i, batch in enumerate(ds):
                 if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
@@ -241,13 +254,16 @@ def train_cyclegan(cfg: GANConfig, logger):
                 metrics = {**{k: float(v) for k, v in mg.items()},
                            "loss_D_A": float(loss_da), "loss_D_B": float(loss_db)}
             logger.info(f"[{tag} {epoch}] {metrics}")
-            if tag == "qat" and (epoch + 1) % cfg.save_epoch_freq == 0:
+            if tag == "qat" and cfg.save_epoch_freq > 0 and \
+                    (epoch + 1) % cfg.save_epoch_freq == 0:
                 _save_cyclegan(cfg.save_dir, gA, gB, dA, dB, joint_opt_state)
+                with open(meta_path, "w") as f:
+                    json.dump({"qat_epoch": epoch + 1}, f)
 
     if not resumed:
         run_phase(FP32, cfg.fp_epochs, "fp_warmup")
     joint_opt_state = set_warmup(joint_opt_state, False)
-    run_phase(QAT, cfg.epochs + cfg.n_epochs_decay, "qat")
+    run_phase(QAT, cfg.epochs + cfg.n_epochs_decay, "qat", start=start_epoch)
     return (gA, gB), (dA, dB), joint_opt_state
 
 

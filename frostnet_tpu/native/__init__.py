@@ -172,9 +172,17 @@ class NativeSegmentationLoader:
         if len(img_paths) != len(mask_paths):
             raise ValueError("img_paths and mask_paths must pair up")
         if threads is None:
-            # same oversubscription rationale as the classification loader;
-            # uint8 seg batches are small (bs16 768^2: ~28 MB + 9 MB masks)
-            threads = max(32, os.cpu_count() or 1)
+            # same oversubscription rationale as the classification loader,
+            # but bound the pool by batch bytes: each worker holds one fully
+            # built batch while blocked on the queue, so peak host memory is
+            # (threads + queue_depth) * batch_bytes. 768^2 bs16 train crops
+            # are ~38 MB (wide pool fine); the city native-val path builds
+            # (1024,2048) bs16 batches of ~134 MB, which must not fan out to
+            # 32 workers (~4 GB RSS).
+            batch_bytes = batch_size * crop_size[0] * crop_size[1] * 4
+            budget = 1.5e9
+            threads = max(4, min(max(32, os.cpu_count() or 1),
+                                 int(budget // max(batch_bytes, 1)) - queue_depth))
         self.lib = _load_lib()
         self.batch_size = batch_size
         self.crop_size = tuple(crop_size)

@@ -113,6 +113,11 @@ bool decode_png(const std::string& path, bool for_image,
     fclose(f);
     return false;
   }
+  // declared BEFORE setjmp: a libpng error longjmps back into the if-block
+  // below and we return normally, so these still destruct (objects
+  // constructed between setjmp and longjmp would be skipped/leaked)
+  std::vector<unsigned char> rows;
+  std::vector<png_bytep> rowp;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
@@ -146,8 +151,8 @@ bool decode_png(const std::string& path, bool for_image,
   png_read_update_info(png, info);
   int channels = png_get_channels(png, info);
   int want = for_image ? 3 : 1;
-  std::vector<unsigned char> rows(static_cast<size_t>(pw) * ph * channels);
-  std::vector<png_bytep> rowp(ph);
+  rows.resize(static_cast<size_t>(pw) * ph * channels);
+  rowp.resize(ph);
   for (png_uint_32 y = 0; y < ph; ++y)
     rowp[y] = rows.data() + static_cast<size_t>(y) * pw * channels;
   png_read_image(png, rowp.data());

@@ -60,11 +60,15 @@ def main(args):
                   crop_size=args.crop_size, batch_size=args.batch_size,
                   num_classes=args.num_classes))
     mesh = make_mesh()
-    # same LR-ASPP pool geometry the trainer builds with (train.py main):
-    # city (37,12) vs pascal/other (25,8) — a mismatch would silently eval
-    # a different network than the one trained
-    model = get_seg_model(cfg.model, num_classes=cfg.num_classes,
-                          dataset="city" if cfg.dataset != "pascal" else "pascal")
+    # same model construction as the trainer (train.py main): LR-ASPP pool
+    # geometry per dataset (city (37,12) vs pascal/other (25,8)) and the
+    # espnet width scale — a mismatch would silently eval a different
+    # network than the one trained (or fail to restore the checkpoint)
+    model_kw = dict(num_classes=cfg.num_classes,
+                    dataset="city" if cfg.dataset != "pascal" else "pascal")
+    if getattr(args, "width_scale", None) is not None:
+        model_kw["s"] = args.width_scale
+    model = get_seg_model(cfg.model, **model_kw)
     tx = get_optimizer("QSGD", 1e-3)
     if cfg.dataset == "synthetic":
         ds = SyntheticSegmentation(cfg.num_classes, (cfg.crop_size, cfg.crop_size),
@@ -127,6 +131,10 @@ def cli():
     p.add_argument("--crop_size", type=int, default=None,
                    help="default resolved per dataset (512/768; 96 synthetic)")
     p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--width_scale", type=float, default=None,
+                   help="espnet/espnetv2 channel scale (must match the "
+                        "trainer's --width_scale or the checkpoint shapes "
+                        "won't restore)")
     p.add_argument("--save_images", default=None)
     p.add_argument("--export_int8", default=None, metavar="PATH",
                    help="write the converted INT8 deployment artifact (.npz)")

@@ -63,6 +63,17 @@ def main(args):
         step = make_train_step(model, QAT, num_classes=args.num_classes, donate=False)
         batch = next(iter(prefetch_to_device(iter(ds), mesh)))
         state, _ = step(state, batch)
+    use_ema = bool(getattr(args, "use_ema", False))
+    if use_ema and getattr(state, "ema", None) is None:
+        logger.info("--use_ema requested but the checkpoint has no EMA "
+                    "params; evaluating the raw weights")
+        use_ema = False
+    if use_ema:
+        # calibration and eval must see the SAME weights: swap the EMA
+        # params in BEFORE recalibration so batch_stats/observers (and the
+        # INT8 conversion) describe the weights actually evaluated
+        state = state.replace(params=state.ema)
+        use_ema = False  # params already swapped; eval uses them directly
     if args.calib_batches:
         # forward-only BN/observer re-estimation (no optimizer mutation) —
         # converges the momentum-0.1 running stats to the checkpoint weights'
@@ -75,15 +86,8 @@ def main(args):
             batches.append(b)
         state = recalibrate(model, state, batches)
 
-    use_ema = bool(getattr(args, "use_ema", False))
-    if use_ema and getattr(state, "ema", None) is None:
-        logger.info("--use_ema requested but the checkpoint has no EMA "
-                    "params; evaluating the raw weights")
-        use_ema = False
-    qat = evaluate(model, state, ds, mesh, QAT_FROZEN, args.num_classes,
-                   use_ema=use_ema)
-    int8 = evaluate(model, state, ds, mesh, INT8, args.num_classes,
-                    use_ema=use_ema)
+    qat = evaluate(model, state, ds, mesh, QAT_FROZEN, args.num_classes)
+    int8 = evaluate(model, state, ds, mesh, INT8, args.num_classes)
     logger.info(f"Accuracy(QAT sim): top1={qat.get('top1', 0):.4f} "
                 f"top5={qat.get('top5', 0):.4f}")
     logger.info(f"Accuracy(INT8 frozen): top1={int8.get('top1', 0):.4f} "

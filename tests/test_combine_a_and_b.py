@@ -288,11 +288,17 @@ def test_gan_linear_lr_schedule_matches_lambda_rule():
 def test_gan_trainer_accepts_decay_epochs():
     """n_epochs_decay extends QAT with the schedule threaded through qadam
     (optax schedules); one tiny pix2pix run exercises it end-to-end."""
+    import jax
     from frostnet_tpu.gan.train import GANConfig, train_pix2pix
     from frostnet_tpu.utils.logging import MetricLogger
 
     cfg = GANConfig(dataset="synthetic", crop_size=32, batch_size=2,
                     epochs=1, fp_epochs=1, n_epochs_decay=1,
-                    steps_per_epoch=2, netG="resnet_6blocks")
+                    steps_per_epoch=2, netG="resnet_6blocks",
+                    save_epoch_freq=0)  # also covers the freq-0 no-save path
     g_state, d_state = train_pix2pix(cfg, MetricLogger(None, name="t"))
-    assert int(np.asarray(g_state.step if hasattr(g_state, "step") else 0) or 0) >= 0
+    # the decay epoch actually ran: G took (fp 1 + qat 1 + decay 1) x 2
+    # optimizer steps (counts live in the optax ScaleByAdam state)
+    counts = [int(x) for x in jax.tree.leaves(g_state.opt_state)
+              if getattr(x, "ndim", None) == 0 and x.dtype == np.int32]
+    assert 6 in counts, counts
