@@ -38,3 +38,29 @@ def test_cli_help_parses(module):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, f"{module} --help failed:\n{r.stderr[-2000:]}"
     assert "usage:" in r.stdout
+
+
+SCRIPTS = [
+    "scripts/bench_input_pipeline.py",
+    "scripts/bench_int8_serving.py",
+    "scripts/bench_workload_serving.py",
+    "scripts/combine_a_and_b.py",
+    "scripts/latency_table.py",
+    "scripts/prepare_cityscapes_pix2pix.py",
+    "scripts/process_cityscapes.py",
+    "scripts/scaling_analysis.py",
+]
+
+
+@pytest.mark.parametrize("script", SCRIPTS)
+def test_script_help_parses(script):
+    """Repo-level tools (benches, dataset prep, scaling analysis) parse
+    --help in a pinned-CPU subprocess — same guard as the package CLIs.
+    The probe_* scripts are one-off measurement harnesses and are skipped."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, script), "--help"],
+        capture_output=True, text=True, timeout=180, env=env, cwd=repo)
+    assert r.returncode == 0, f"{script} --help failed:\n{r.stderr[-2000:]}"
+    assert "usage:" in r.stdout or "Usage" in r.stdout
