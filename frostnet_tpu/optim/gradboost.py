@@ -203,10 +203,12 @@ def qrmsprop(learning_rate, alpha=0.9, momentum=0.9, eps=1e-8, weight_decay=0.0,
     )
 
 
-def adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0):
+def adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+         amsgrad=False):
     return optax.chain(
         _wd(weight_decay),
-        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps) if amsgrad
+        else optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
         optax.scale_by_learning_rate(learning_rate),
     )
 
@@ -228,6 +230,12 @@ def qadam(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
 
 
 def adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2, amsgrad=False):
+    if amsgrad:
+        return optax.chain(
+            optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(learning_rate),
+        )
     return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
 
 

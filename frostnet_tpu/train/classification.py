@@ -62,6 +62,11 @@ class ClassificationConfig:
     noise_decay: float = 1e-2
     nesterov: bool = False
     lrsch: str = "cos_lr"
+    annealing: bool = False      # cyclic cos/linear restarts (train.json
+                                 # "annealing" + "restart_epoch",
+                                 # helper_functions.py:231-249)
+    restart_epoch: int = 100
+    amsgrad: bool = False        # QAdam/QAdamW amsgrad variant (train.json)
     warmup_epochs: int = 0
     warmup_lr: float = 1e-4
     decay_epochs: float = 30.0   # step_lr: 2.4 in the published recipe
@@ -79,12 +84,40 @@ class ClassificationConfig:
                                  # reference's checkpoint.pth.tar resume flow,
                                  # helper_functions.py:400-407)
 
+    # reference setting/train.json key -> our field (train.py:46-67 reads
+    # these out of the nested train_config/data_config sections)
+    _JSON_ALIASES = {
+        "Model": "model", "FP_epoch": "fp_epochs",
+        "warmup_epoch": "warmup_epochs", "dataset_name": "dataset",
+    }
+    _JSON_IGNORED = {"num_work", "w", "h", "ignore_idx"}  # loader knobs n/a
+
     @classmethod
     def from_json(cls, path):
+        """Accepts both our flat JSON and the reference's
+        setting/train.json layout (nested train_config/data_config sections,
+        Model/FP_epoch/... key spellings, resume as a checkpoint path)."""
         with open(path) as f:
             raw = json.load(f)
+        flat = {}
+        for k, v in raw.items():
+            if isinstance(v, dict) and k.endswith("_config"):
+                flat.update(v)
+            else:
+                flat[k] = v
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in raw.items() if k in known})
+        out = {}
+        for k, v in flat.items():
+            k = cls._JSON_ALIASES.get(k, k)
+            if k in cls._JSON_IGNORED:
+                continue
+            if k == "resume" and isinstance(v, str):
+                v = bool(v)  # the reference uses "" / ckpt path
+            if k == "dataset":
+                v = {"ILSVRC2015": "imagenet"}.get(v, v)
+            if k in known:
+                out[k] = v
+        return cls(**out)
 
 
 def _build_dataset(cfg: ClassificationConfig, train: bool):
@@ -121,6 +154,8 @@ def _optimizer(cfg: ClassificationConfig, schedule):
                       noise_decay=cfg.noise_decay, seed=cfg.seed)
     if cfg.optim in ("SGD", "QSGD"):
         kwargs["nesterov"] = cfg.nesterov
+    if cfg.optim in ("Adam", "QAdam", "AdamW", "QAdamW"):
+        kwargs["amsgrad"] = cfg.amsgrad
     wd = grouped_weight_decay(cfg.weight_decay)
     return get_optimizer(cfg.optim, schedule, weight_decay=wd, **kwargs)
 
@@ -175,6 +210,9 @@ def main(cfg: ClassificationConfig):
     warmup = dict(warmup_steps=cfg.warmup_epochs * steps_per_epoch,
                   warmup_lr=cfg.warmup_lr)
     if cfg.lrsch in ("cos_lr", "linear_lr"):
+        if cfg.annealing:  # cyclic restarts (helper_functions.py:231-249)
+            warmup = dict(warmup,
+                          restart_period=cfg.restart_epoch * steps_per_epoch)
         schedule = get_lr_scheduler(
             cfg.lrsch, base_lr=cfg.learning_rate, total_steps=total_steps,
             **warmup)

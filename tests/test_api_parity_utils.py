@@ -142,3 +142,65 @@ def test_fake_quantize_observed_composition():
     want = fake_quantize(x, scale, zp, spec)
     got = fake_quantize_observed(x, state, spec)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_from_json_accepts_reference_train_json(tmp_path):
+    """ClassificationConfig.from_json consumes the reference's
+    setting/train.json VERBATIM: nested train_config/data_config sections,
+    Model/FP_epoch/warmup_epoch/dataset_name spellings, resume as a path
+    string, ILSVRC2015 as the imagenet name (train.py:46-67)."""
+    import json
+    from frostnet_tpu.train.classification import ClassificationConfig
+
+    with open("/root/reference/Classification/setting/train.json") as f:
+        ref = json.load(f)
+    p = tmp_path / "train.json"
+    p.write_text(json.dumps(ref))
+    cfg = ClassificationConfig.from_json(str(p))
+    tc, dc = ref["train_config"], ref["data_config"]
+    assert cfg.model == tc["Model"]
+    assert cfg.fp_epochs == tc["FP_epoch"]
+    assert cfg.warmup_epochs == tc["warmup_epoch"]
+    assert cfg.learning_rate == tc["learning_rate"]
+    assert cfg.epochs == tc["epochs"]
+    assert cfg.optim == tc["optim"]
+    assert cfg.lrsch == tc["lrsch"]
+    assert cfg.clip_by == tc["clip_by"]
+    assert cfg.noise_decay == tc["noise_decay"]
+    assert cfg.toss_coin == tc["toss_coin"]
+    assert cfg.nesterov == tc["nesterov"]
+    assert cfg.amsgrad == tc["amsgrad"]
+    assert cfg.annealing == tc["annealing"]
+    assert cfg.restart_epoch == tc["restart_epoch"]
+    assert cfg.resume is False  # "" -> no resume
+    assert cfg.dataset == "imagenet"  # ILSVRC2015 alias
+    assert cfg.num_classes == dc["num_classes"]
+
+
+def test_annealing_restart_schedule_cycles():
+    """annealing=true makes cos_lr cyclic with period restart_epoch
+    (helper_functions.py:231-249: epoch % restart_epochs)."""
+    import numpy as np
+    from frostnet_tpu.optim.schedules import warmup_cosine
+
+    base, period = 0.1, 50
+    sched = warmup_cosine(base, total_steps=1000, restart_period=period)
+    for step in (0, 10, 49):
+        np.testing.assert_allclose(float(sched(step)),
+                                   float(sched(step + period)), rtol=1e-6)
+    # decays within a cycle, resets at the boundary
+    assert float(sched(49)) < float(sched(0)) * 0.02
+    np.testing.assert_allclose(float(sched(period)), base, rtol=1e-6)
+
+
+def test_adam_amsgrad_variants_construct_and_step():
+    import jax.numpy as jnp
+    import numpy as np
+    from frostnet_tpu.optim.gradboost import adam, adamw
+
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.full(3, 0.5)}
+    for tx in (adam(1e-3, amsgrad=True), adamw(1e-3, amsgrad=True)):
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        assert np.isfinite(np.asarray(upd["w"])).all()
