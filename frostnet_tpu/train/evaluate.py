@@ -109,10 +109,40 @@ def main(args):
     return {"qat": qat, "int8": int8, "int8_size_mb": size_mb}
 
 
+_JSON_ALIASES = {"Model": "model", "weight_name": "checkpoint",
+                 "dataset_name": "dataset"}
+
+
+def _json_defaults(path):
+    """Map the reference's setting/evaluate.json (nested test_config/
+    data_config, Model/weight_name spellings — evaluate.py:28) onto our
+    argparse defaults; explicit CLI flags still win."""
+    import json
+    with open(path) as f:
+        raw = json.load(f)
+    flat = {}
+    for k, v in raw.items():
+        flat.update(v) if isinstance(v, dict) and k.endswith("_config") else flat.__setitem__(k, v)
+    out = {}
+    for k, v in flat.items():
+        k = _JSON_ALIASES.get(k, k)
+        if k == "dataset":
+            v = {"ILSVRC2015": "imagenet"}.get(v, v)
+        if k == "checkpoint" and not v:
+            continue
+        out[k] = v
+    return out
+
+
 def cli():
     from ..utils.platform import pin_platform_from_env
     pin_platform_from_env()
-    p = argparse.ArgumentParser(description=__doc__)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("-c", "--config", default=None,
+                     help="reference-style evaluate.json (setting/*.json "
+                          "layout accepted verbatim)")
+    cfg_args, rest = pre.parse_known_args()
+    p = argparse.ArgumentParser(description=__doc__, parents=[pre])
     p.add_argument("--model", default="frostnet_quant_large_1_0")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--dataset", default="synthetic")
@@ -130,6 +160,10 @@ def cli():
     p.add_argument("--layer_report", type=int, default=0, metavar="N",
                    help="print the worst-N-layers INT8-vs-QAT numeric-suite "
                         "report (quant/numeric_suite.py)")
+    if cfg_args.config:
+        known = {a.dest for a in p._actions}
+        p.set_defaults(**{k: v for k, v in _json_defaults(cfg_args.config).items()
+                          if k in known})
     main(p.parse_args())
 
 

@@ -204,3 +204,18 @@ def test_adam_amsgrad_variants_construct_and_step():
         st = tx.init(params)
         upd, _ = tx.update(grads, st, params)
         assert np.isfinite(np.asarray(upd["w"])).all()
+
+
+def test_evaluator_accepts_reference_evaluate_json():
+    """-c setting/evaluate.json (reference layout) maps onto the evaluator's
+    argparse defaults (evaluate.py:28): Model/weight_name spellings, nested
+    test_config/data_config sections."""
+    from frostnet_tpu.train.evaluate import _json_defaults
+
+    d = _json_defaults("/root/reference/Classification/setting/evaluate.json")
+    assert d["model"] == "mobilenet_v2"
+    assert "checkpoint" not in d  # weight_name "" means no checkpoint
+    assert d["batch_size"] == 1
+    # that file's dataset_name is 'imagenet_tiny' — kept verbatim (only the
+    # ILSVRC2015 alias rewrites); it resolves as an ImageFolder name here
+    assert d["dataset"] == "imagenet_tiny"
