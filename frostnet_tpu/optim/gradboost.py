@@ -203,12 +203,63 @@ def qrmsprop(learning_rate, alpha=0.9, momentum=0.9, eps=1e-8, weight_decay=0.0,
     )
 
 
+class AmsgradState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8):
+    """torch.optim.Adam(amsgrad=True) semantics — also the reference
+    QAdam/QAdamW amsgrad branch (optimizer.py:500-504, 655-659): the running
+    max is over the RAW second moment, bias correction divides the max
+    afterward. optax.scale_by_amsgrad maxes the bias-CORRECTED nu_hat
+    instead, which pins an early spike permanently and tracks a materially
+    different trajectory."""
+
+    def init_fn(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return AmsgradState(jnp.zeros([], jnp.int32), z,
+                            jax.tree.map(jnp.zeros_like, params),
+                            jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm / bc2) + eps), mu, nu_max)
+        return out, AmsgradState(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _scale_adam(b1, b2, eps, amsgrad):
+    return (scale_by_amsgrad_torch(b1=b1, b2=b2, eps=eps) if amsgrad
+            else optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+
+
+def _decoupled_wd(weight_decay) -> optax.GradientTransformation:
+    """AdamW-style decay term: a float becomes add_decayed_weights; a ready
+    transform (grouped_weight_decay) is used as-is — it adds wd(p)*p to the
+    updates, which IS decoupled decay when placed after the moment scaling."""
+    if isinstance(weight_decay, optax.GradientTransformation):
+        return weight_decay
+    return optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity()
+
+
 def adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
          amsgrad=False):
     return optax.chain(
         _wd(weight_decay),
-        optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps) if amsgrad
-        else optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        _scale_adam(b1, b2, eps, amsgrad),
         optax.scale_by_learning_rate(learning_rate),
     )
 
@@ -216,42 +267,32 @@ def adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
 def qadam(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
           amsgrad=False, clip_by=1e-3, toss_coin=True, noise_decay=1e-2, seed=0):
     """QAdam (optimizer.py:361-512): wd (L2-style) -> noise -> adam moments."""
-    scale_adam = (
-        optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps)
-        if amsgrad
-        else optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
-    )
     return optax.chain(
         _wd(weight_decay),
         gradboost(0.9, clip_by, toss_coin, noise_decay, seed),
-        scale_adam,
+        _scale_adam(b1, b2, eps, amsgrad),
         optax.scale_by_learning_rate(learning_rate),
     )
 
 
 def adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2, amsgrad=False):
-    if amsgrad:
-        return optax.chain(
-            optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps),
-            optax.add_decayed_weights(weight_decay),
-            optax.scale_by_learning_rate(learning_rate),
-        )
-    return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    """AdamW: decoupled decay; accepts a float or a grouped-decay transform
+    (a GradientTransformation crashed optax.adamw — round-3 review fix)."""
+    return optax.chain(
+        _scale_adam(b1, b2, eps, amsgrad),
+        _decoupled_wd(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
 
 
 def qadamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2,
            amsgrad=False, clip_by=1e-3, toss_coin=True, noise_decay=1e-2, seed=0):
     """QAdamW (optimizer.py:514-667): decoupled wd on params, noise on grads,
     adam moments."""
-    scale_adam = (
-        optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps)
-        if amsgrad
-        else optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
-    )
     return optax.chain(
         gradboost(0.9, clip_by, toss_coin, noise_decay, seed),
-        scale_adam,
-        optax.add_decayed_weights(weight_decay),
+        _scale_adam(b1, b2, eps, amsgrad),
+        _decoupled_wd(weight_decay),
         optax.scale_by_learning_rate(learning_rate),
     )
 

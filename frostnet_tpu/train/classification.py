@@ -39,6 +39,28 @@ from ..utils.metrics import AverageMeter
 from .state import create_train_state, make_train_step, make_eval_step
 
 
+def flatten_reference_json(raw: dict, aliases: dict, ignored=frozenset()) -> dict:
+    """Flatten the reference's setting/*.json layout (nested *_config
+    sections) and normalize its key spellings/dataset names. Shared by the
+    trainer's from_json and the evaluator's -c loader so the reference-layout
+    parsing lives in exactly one place."""
+    flat = {}
+    for k, v in raw.items():
+        if isinstance(v, dict) and k.endswith("_config"):
+            flat.update(v)
+        else:
+            flat[k] = v
+    out = {}
+    for k, v in flat.items():
+        k = aliases.get(k, k)
+        if k in ignored:
+            continue
+        if k == "dataset":
+            v = {"ILSVRC2015": "imagenet"}.get(v, v)
+        out[k] = v
+    return out
+
+
 @dataclasses.dataclass
 class ClassificationConfig:
     """Union of the knobs in reference setting/train.json + CLI args."""
@@ -80,6 +102,9 @@ class ClassificationConfig:
     save_dir: str = "./runs/classification"
     log_every: int = 10
     mp: int = 1                  # model-parallel axis size
+    resume_path: Optional[str] = None  # explicit checkpoint dir to restore
+                                 # (the reference's resume-by-path;
+                                 # meta/best still live in save_dir)
     resume: bool = False         # continue from save_dir/checkpoint (the
                                  # reference's checkpoint.pth.tar resume flow,
                                  # helper_functions.py:400-407)
@@ -99,22 +124,15 @@ class ClassificationConfig:
         Model/FP_epoch/... key spellings, resume as a checkpoint path)."""
         with open(path) as f:
             raw = json.load(f)
-        flat = {}
-        for k, v in raw.items():
-            if isinstance(v, dict) and k.endswith("_config"):
-                flat.update(v)
-            else:
-                flat[k] = v
+        flat = flatten_reference_json(raw, cls._JSON_ALIASES, cls._JSON_IGNORED)
         known = {f.name for f in dataclasses.fields(cls)}
         out = {}
         for k, v in flat.items():
-            k = cls._JSON_ALIASES.get(k, k)
-            if k in cls._JSON_IGNORED:
-                continue
             if k == "resume" and isinstance(v, str):
-                v = bool(v)  # the reference uses "" / ckpt path
-            if k == "dataset":
-                v = {"ILSVRC2015": "imagenet"}.get(v, v)
+                # the reference uses "" / an explicit checkpoint path
+                if v:
+                    out["resume_path"] = v
+                v = bool(v)
             if k in known:
                 out[k] = v
         return cls(**out)
@@ -235,10 +253,14 @@ def main(cfg: ClassificationConfig):
     start_epoch, best_top1, resumed = 0, -1.0, False
     ckpt_path = os.path.join(cfg.save_dir, "checkpoint")
     meta_path = os.path.join(cfg.save_dir, "checkpoint_meta.json")
-    if cfg.resume and os.path.exists(meta_path):
+    restore_from = cfg.resume_path or ckpt_path
+    restore_meta = (os.path.join(os.path.dirname(restore_from),
+                                 "checkpoint_meta.json")
+                    if cfg.resume_path else meta_path)
+    if (cfg.resume or cfg.resume_path) and os.path.exists(restore_meta):
         from ..utils.checkpoint import restore_checkpoint
-        state = restore_checkpoint(ckpt_path, state)
-        with open(meta_path) as f:
+        state = restore_checkpoint(restore_from, state)
+        with open(restore_meta) as f:
             meta = json.load(f)
         start_epoch, best_top1 = meta["qat_epoch"], meta["best_top1"]
         resumed = True  # checkpoints are written in the QAT phase only

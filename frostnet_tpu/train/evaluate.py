@@ -116,21 +116,16 @@ _JSON_ALIASES = {"Model": "model", "weight_name": "checkpoint",
 def _json_defaults(path):
     """Map the reference's setting/evaluate.json (nested test_config/
     data_config, Model/weight_name spellings — evaluate.py:28) onto our
-    argparse defaults; explicit CLI flags still win."""
+    argparse defaults; explicit CLI flags still win. Uses the trainer's
+    shared reference-layout flattener."""
     import json
+
+    from .classification import flatten_reference_json
     with open(path) as f:
         raw = json.load(f)
-    flat = {}
-    for k, v in raw.items():
-        flat.update(v) if isinstance(v, dict) and k.endswith("_config") else flat.__setitem__(k, v)
-    out = {}
-    for k, v in flat.items():
-        k = _JSON_ALIASES.get(k, k)
-        if k == "dataset":
-            v = {"ILSVRC2015": "imagenet"}.get(v, v)
-        if k == "checkpoint" and not v:
-            continue
-        out[k] = v
+    out = flatten_reference_json(raw, _JSON_ALIASES)
+    if not out.get("checkpoint"):
+        out.pop("checkpoint", None)  # weight_name "" means no checkpoint
     return out
 
 

@@ -193,17 +193,62 @@ def test_annealing_restart_schedule_cycles():
     np.testing.assert_allclose(float(sched(period)), base, rtol=1e-6)
 
 
-def test_adam_amsgrad_variants_construct_and_step():
+def test_adam_amsgrad_bitmatches_torch():
+    """amsgrad takes the running max over the RAW second moment and
+    bias-corrects the max afterward — torch.optim.Adam(amsgrad=True)
+    semantics, which the reference QAdam/QAdamW amsgrad branch copies
+    (optimizer.py:500-504). optax.scale_by_amsgrad maxes the CORRECTED
+    nu_hat instead, so we carry our own transform; oracle-match it over a
+    trajectory with an early gradient spike (the case where the two
+    definitions diverge by up to ~30x)."""
     import jax.numpy as jnp
     import numpy as np
-    from frostnet_tpu.optim.gradboost import adam, adamw
+    import torch
+    from frostnet_tpu.optim.gradboost import adam
 
-    params = {"w": jnp.ones(3)}
-    grads = {"w": jnp.full(3, 0.5)}
-    for tx in (adam(1e-3, amsgrad=True), adamw(1e-3, amsgrad=True)):
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(5).astype(np.float32)
+    grads = [rng.randn(5).astype(np.float32) * (100.0 if t == 0 else 1.0)
+             for t in range(8)]
+
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    topt = torch.optim.Adam([tw], lr=1e-2, amsgrad=True)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+
+    tx = adam(1e-2, amsgrad=True)
+    params = {"w": jnp.asarray(w0)}
+    st = tx.init(params)
+    for g in grads:
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = {"w": params["w"] + upd["w"]}
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_adamw_accepts_grouped_weight_decay():
+    """The classification trainer hands every optimizer
+    grouped_weight_decay (a GradientTransformation); optax.adamw expected a
+    float and crashed for optim=AdamW/QAdamW (round-3 review fix). The
+    grouped transform placed after the moment scaling IS decoupled decay."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from frostnet_tpu.optim.gradboost import (adamw, grouped_weight_decay,
+                                              qadamw)
+
+    params = {"k": jnp.ones((3, 3, 4, 8)), "b": jnp.ones(8)}
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.1), params)
+    for tx in (adamw(1e-3, weight_decay=grouped_weight_decay(1e-4)),
+               qadamw(1e-3, weight_decay=grouped_weight_decay(1e-4)),
+               adamw(1e-3, weight_decay=grouped_weight_decay(1e-4),
+                     amsgrad=True)):
         st = tx.init(params)
         upd, _ = tx.update(grads, st, params)
-        assert np.isfinite(np.asarray(upd["w"])).all()
+        assert all(np.isfinite(np.asarray(u)).all()
+                   for u in jax.tree.leaves(upd))
 
 
 def test_evaluator_accepts_reference_evaluate_json():
@@ -219,3 +264,18 @@ def test_evaluator_accepts_reference_evaluate_json():
     # that file's dataset_name is 'imagenet_tiny' — kept verbatim (only the
     # ILSVRC2015 alias rewrites); it resolves as an ImageFolder name here
     assert d["dataset"] == "imagenet_tiny"
+
+
+def test_from_json_preserves_resume_path(tmp_path):
+    """A reference train.json with resume as a checkpoint path must keep the
+    PATH (restored from that location), not collapse to a bare bool that
+    silently trains from scratch (round-3 review fix)."""
+    import json
+    from frostnet_tpu.train.classification import ClassificationConfig
+
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(
+        {"train_config": {"resume": "./other_run/checkpoint"}}))
+    cfg = ClassificationConfig.from_json(str(p))
+    assert cfg.resume is True
+    assert cfg.resume_path == "./other_run/checkpoint"
