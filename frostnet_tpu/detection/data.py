@@ -108,13 +108,17 @@ def _expand(img, boxes, rng):
 
 
 def _random_crop(img, boxes, labels, rng):
-    """RandomSampleCrop (augmentations.py:208-310), IoU-constrained crops."""
+    """RandomSampleCrop (augmentations.py:208-310). NOTE: the reference's
+    IoU constraint is INERT — its reject condition
+    ``overlap.min() < min_iou and max_iou < overlap.max()`` can never fire
+    with max_iou=inf (the well-known ssd.pytorch 'and'-for-'or' bug), so the
+    effective keep rule is center-in-crop only, which is what this
+    implements."""
     h, w = img.shape[:2]
     for _ in range(20):
         mode = rng.choice([0, 1, 2, 3, 4, 5])
         if mode == 0:
             return img, boxes, labels
-        min_iou = [None, 0.1, 0.3, 0.7, 0.9, None][mode] or 0.0
         cw = rng.uniform(0.3 * w, w)
         ch = rng.uniform(0.3 * h, h)
         if not 0.5 <= cw / ch <= 2:
@@ -197,11 +201,8 @@ class VOCDetection:
     def __len__(self):
         return len(self.ids) // self.batch_size
 
-    def _load(self, base, img_id, rng):
-        from PIL import Image
-
-        img = np.asarray(Image.open(
-            os.path.join(base, "JPEGImages", img_id + ".jpg")).convert("RGB"))
+    def _parse(self, base, img_id):
+        """(img_path, boxes_px xyxy, labels) from the XML annotation."""
         boxes, labels = [], []
         tree = ET.parse(os.path.join(base, "Annotations", img_id + ".xml"))
         for obj in tree.iter("object"):
@@ -213,8 +214,22 @@ class VOCDetection:
             boxes.append([float(bb.find(k).text) - (1 if k in ("xmin", "ymin") else 0)
                           for k in ("xmin", "ymin", "xmax", "ymax")])
             labels.append(self.class_to_idx[name])
-        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
-        labels = np.asarray(labels, np.int32)
+        return (os.path.join(base, "JPEGImages", img_id + ".jpg"),
+                np.asarray(boxes, np.float32).reshape(-1, 4),
+                np.asarray(labels, np.int32))
+
+    def annotations(self):
+        """All (paths, boxes, labels) — the native C++ loader's input (XML
+        parsing stays host-side Python; decode+augment move to the pool)."""
+        parsed = [self._parse(*pair) for pair in self.ids]
+        return ([p for p, _, _ in parsed], [b for _, b, _ in parsed],
+                [l for _, _, l in parsed])
+
+    def _load(self, base, img_id, rng):
+        from PIL import Image
+
+        path, boxes, labels = self._parse(base, img_id)
+        img = np.asarray(Image.open(path).convert("RGB"))
         return ssd_augment(img, boxes, labels, rng, self.size, self.train)
 
     def __iter__(self):
@@ -300,6 +315,15 @@ class COCODetection:
 
     def __len__(self):
         return len(self.samples) // self.batch_size
+
+    def annotations(self):
+        """All (paths, boxes, labels) for the native C++ loader."""
+        paths = [p for p, _ in self.samples]
+        boxes = [np.asarray([a[:4] for a in anns], np.float32).reshape(-1, 4)
+                 for _, anns in self.samples]
+        labels = [np.asarray([a[4] for a in anns], np.int32)
+                  for _, anns in self.samples]
+        return paths, boxes, labels
 
     def __iter__(self):
         from PIL import Image

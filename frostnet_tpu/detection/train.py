@@ -49,6 +49,8 @@ class DetConfig:
     optim: str = "QSGD"
     quant: bool = True              # --quant false trains plain FP32 SSD
                                     # end-to-end (qtrainval.py --quant)
+    loader: str = "python"          # "python" (PIL) | "native" (C++ pool:
+                                    # decode + SSD aug, uint8 to device)
     clip_by: float = 1e-3
     max_iter: Optional[int] = None      # default from cfg
     warmup_iters: Optional[int] = None  # default 2 epochs
@@ -78,13 +80,29 @@ def build_detection_dataset(cfg: "DetConfig", train: bool = True):
         return SyntheticDetection((cfg.num_classes or 21) - 1, 300,
                                   cfg.batch_size * 4, cfg.batch_size, cfg.seed)
     if cfg.dataset == "coco":
-        return COCODetection(cfg.data_root, split=cfg.coco_split,
-                             batch_size=cfg.batch_size, train=train,
-                             seed=cfg.seed)
-    if cfg.dataset == "voc":
-        return VOCDetection(cfg.data_root, batch_size=cfg.batch_size,
-                            train=train, seed=cfg.seed)
-    raise ValueError(f"unknown dataset {cfg.dataset!r} (voc|coco|synthetic)")
+        ds = COCODetection(cfg.data_root, split=cfg.coco_split,
+                           batch_size=cfg.batch_size, train=train,
+                           seed=cfg.seed)
+    elif cfg.dataset == "voc":
+        ds = VOCDetection(cfg.data_root, batch_size=cfg.batch_size,
+                          train=train, seed=cfg.seed)
+    else:
+        raise ValueError(f"unknown dataset {cfg.dataset!r} (voc|coco|synthetic)")
+    if getattr(cfg, "loader", "python") == "native":
+        # annotation parsing stays host-side; JPEG decode + the SSD
+        # augmentation move to the C++ pool. Raw uint8 RGB ships to the
+        # device where _prep_det_image applies the BGR/mean BaseTransform.
+        try:
+            from ..native import NativeDetectionLoader
+            paths, boxes, labels = ds.annotations()
+            return NativeDetectionLoader(
+                paths, boxes, labels, batch_size=cfg.batch_size,
+                train=train, seed=cfg.seed)
+        except RuntimeError as e:  # toolchain/libjpeg/libpng missing
+            import warnings
+            warnings.warn(f"--loader native unavailable ({e}); "
+                          "falling back to the Python loader")
+    return ds
 
 
 @flax.struct.dataclass
@@ -100,15 +118,27 @@ class DetState:
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
 
+def _prep_det_image(image):
+    """uint8 batches (the native loader's raw RGB) get the SSD BaseTransform
+    on device: RGB->BGR + mean subtraction, fused into the step by XLA
+    (ssd_augment applies the same on host for f32 batches)."""
+    if image.dtype != jnp.uint8:
+        return image
+    from .data import MEANS
+    return image.astype(jnp.float32)[..., ::-1] - jnp.asarray(MEANS, jnp.float32)
+
+
 def make_det_train_step(feat, head, mode, priors, num_classes):
     mutable_f = ["batch_stats"] + (["quant"] if mode.observe else [])
 
     def step(state: DetState, batch):
+        image = _prep_det_image(batch["image"])
+
         def loss_fn(params):
             fp, hp = params
             fv = {"params": fp, "batch_stats": state.feat_batch_stats,
                   "quant": state.feat_quant}
-            sources, f_upd = feat.apply(fv, batch["image"], mode=mode, train=True,
+            sources, f_upd = feat.apply(fv, image, mode=mode, train=True,
                                         mutable=mutable_f)
             hv = {"params": hp, "batch_stats": state.head_batch_stats}
             (loc, conf), h_upd = head.apply(hv, sources, train=True,

@@ -58,6 +58,19 @@ def _load_lib():
             lib.fndl_destroy.argtypes = [ctypes.c_void_p]
             lib.fndl_batches_per_epoch.restype = ctypes.c_long
             lib.fndl_batches_per_epoch.argtypes = [ctypes.c_void_p]
+            lib.fndt_create.restype = ctypes.c_void_p
+            lib.fndt_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_uint, ctypes.c_int]
+            lib.fndt_next.restype = ctypes.c_int
+            lib.fndt_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p]
+            lib.fndt_destroy.argtypes = [ctypes.c_void_p]
+            lib.fndt_batches_per_epoch.restype = ctypes.c_long
+            lib.fndt_batches_per_epoch.argtypes = [ctypes.c_void_p]
             lib.fnsl_create.restype = ctypes.c_void_p
             lib.fnsl_create.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
@@ -223,3 +236,72 @@ class NativeSegmentationLoader:
                 yield {"image": images, "label": masks.astype(np.int32)}
         finally:
             self.lib.fnsl_destroy(handle)
+
+
+class NativeDetectionLoader:
+    """SSD detection loader backed by the C++ worker pool: JPEG/PNG decode +
+    the full train augmentation (photometric distort, mean-fill expand,
+    center-rule random crop, mirror, squash-resize — detection/data.py
+    ssd_augment semantics). Emits raw uint8 RGB; the BGR flip + mean
+    subtraction runs on device (train/detection uint8 prep).
+
+    Yields {'image': (B,S,S,3) u8, 'boxes': (B,M,4) f32 normalized xyxy,
+    'labels': (B,M) i32, 'valid': (B,M) bool} — the same padded-target
+    layout as VOCDetection."""
+
+    def __init__(self, img_paths: Sequence[str], boxes, labels,
+                 max_boxes: int = 50, batch_size: int = 32, size: int = 300,
+                 threads: Optional[int] = None, train: bool = True,
+                 seed: int = 0, queue_depth: int = 4):
+        if not (len(img_paths) == len(boxes) == len(labels)):
+            raise ValueError("img_paths/boxes/labels must pair up")
+        if threads is None:
+            threads = max(32, os.cpu_count() or 1)
+        self.lib = _load_lib()
+        self.batch_size = batch_size
+        self.size = size
+        self.max_boxes = max_boxes
+        self._paths = [p.encode() for p in img_paths]
+        counts = np.array([len(b) for b in boxes], np.int32)
+        flat_boxes = (np.concatenate([np.asarray(b, np.float32).reshape(-1, 4)
+                                      for b in boxes])
+                      if counts.sum() else np.zeros((0, 4), np.float32))
+        flat_labels = (np.concatenate([np.asarray(l, np.int32).reshape(-1)
+                                       for l in labels])
+                       if counts.sum() else np.zeros((0,), np.int32))
+        self._counts = counts
+        self._flat_boxes = np.ascontiguousarray(flat_boxes, np.float32)
+        self._flat_labels = np.ascontiguousarray(flat_labels, np.int32)
+        self._args = (threads, train, seed, queue_depth)
+
+    def __len__(self):
+        return len(self._paths) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        threads, train, seed, qd = self._args
+        arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
+        handle = self.lib.fndt_create(
+            arr, self._flat_boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            self._flat_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            len(self._paths), self.max_boxes, self.batch_size, self.size,
+            threads, int(train), seed, qd)
+        s, m = self.size, self.max_boxes
+        try:
+            while True:
+                images = np.empty((self.batch_size, s, s, 3), np.uint8)
+                bxs = np.empty((self.batch_size, m, 4), np.float32)
+                lbs = np.empty((self.batch_size, m), np.int32)
+                cnt = np.empty((self.batch_size,), np.int32)
+                ok = self.lib.fndt_next(
+                    handle, images.ctypes.data_as(ctypes.c_void_p),
+                    bxs.ctypes.data_as(ctypes.c_void_p),
+                    lbs.ctypes.data_as(ctypes.c_void_p),
+                    cnt.ctypes.data_as(ctypes.c_void_p))
+                if not ok:
+                    return
+                valid = np.arange(m)[None, :] < cnt[:, None]
+                yield {"image": images, "boxes": bxs, "labels": lbs,
+                       "valid": valid}
+        finally:
+            self.lib.fndt_destroy(handle)

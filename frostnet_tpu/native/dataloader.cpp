@@ -445,9 +445,389 @@ struct SegLoader {
   }
 };
 
+// --------------------------------------------------------------------------
+// Detection pipeline (the SSD augmentation of detection/data.py ssd_augment,
+// itself mirroring Object_Detection/utils/augmentations.py): photometric
+// distort -> expand (mean fill) -> IoU-constrained random crop -> mirror ->
+// squash-resize to out_hw. XML parsing stays on the Python side; boxes come
+// in pre-parsed (pixel xyxy). Output: uint8 RGB (the BGR flip + mean
+// subtraction runs on device), boxes normalized to the final frame, padded
+// to max_boxes with a count.
+// --------------------------------------------------------------------------
+
+void rgb_to_hsv_px(float r, float g, float b, float* h, float* s, float* v) {
+  float mx = std::max(r, std::max(g, b));
+  float mn = std::min(r, std::min(g, b));
+  float d = mx - mn;
+  *v = mx;
+  *s = mx > 0 ? d / mx : 0.f;
+  if (d <= 0) {
+    *h = 0;
+  } else if (mx == r) {
+    *h = std::fmod(60.f * ((g - b) / d) + 360.f, 360.f);
+  } else if (mx == g) {
+    *h = 60.f * ((b - r) / d) + 120.f;
+  } else {
+    *h = 60.f * ((r - g) / d) + 240.f;
+  }
+}
+
+void hsv_to_rgb_px(float h, float s, float v, float* r, float* g, float* b) {
+  h = std::fmod(std::fmod(h, 360.f) + 360.f, 360.f);
+  s = std::min(std::max(s, 0.f), 1.f);
+  float c = v * s;
+  float x = c * (1.f - std::fabs(std::fmod(h / 60.f, 2.f) - 1.f));
+  float m = v - c;
+  float rr = 0, gg = 0, bb = 0;
+  if (h < 60) {
+    rr = c; gg = x;
+  } else if (h < 120) {
+    rr = x; gg = c;
+  } else if (h < 180) {
+    gg = c; bb = x;
+  } else if (h < 240) {
+    gg = x; bb = c;
+  } else if (h < 300) {
+    rr = x; bb = c;
+  } else {
+    rr = c; bb = x;
+  }
+  *r = rr + m;
+  *g = gg + m;
+  *b = bb + m;
+}
+
+struct DetItem {
+  std::vector<float> img;  // HWC float RGB 0..255
+  int w = 0, h = 0;
+  std::vector<float> boxes;  // xyxy pixels
+  std::vector<int> labels;
+};
+
+void det_photometric(DetItem& it, std::mt19937& rng) {
+  std::uniform_real_distribution<float> u01(0.f, 1.f);
+  auto coin = [&] { return u01(rng) < 0.5f; };
+  size_t n = it.img.size();
+  if (coin()) {  // RandomBrightness(32)
+    float d = -32.f + 64.f * u01(rng);
+    for (size_t i = 0; i < n; ++i) it.img[i] += d;
+  }
+  bool sathue_first = !coin();  // distort order
+  auto contrast = [&] {
+    if (coin()) {
+      float a = 0.5f + u01(rng);
+      for (size_t i = 0; i < n; ++i) it.img[i] *= a;
+    }
+  };
+  auto sat_hue = [&] {
+    bool do_s = coin();
+    float sa = 0.5f + u01(rng);
+    bool do_h = coin();
+    float hd = -18.f + 36.f * u01(rng);
+    if (!do_s && !do_h) return;
+    for (size_t p = 0; p < n; p += 3) {
+      float r = std::min(std::max(it.img[p], 0.f), 255.f);
+      float g = std::min(std::max(it.img[p + 1], 0.f), 255.f);
+      float b = std::min(std::max(it.img[p + 2], 0.f), 255.f);
+      float h, s, v;
+      rgb_to_hsv_px(r, g, b, &h, &s, &v);
+      if (do_s) s *= sa;
+      if (do_h) h += hd;
+      hsv_to_rgb_px(h, s, v, &it.img[p], &it.img[p + 1], &it.img[p + 2]);
+    }
+  };
+  if (sathue_first) {
+    sat_hue();
+    contrast();
+  } else {
+    contrast();
+    sat_hue();
+  }
+  if (coin()) {  // RandomLightingNoise: random channel permutation
+    int perm[3] = {0, 1, 2};
+    std::shuffle(perm, perm + 3, rng);
+    for (size_t p = 0; p < n; p += 3) {
+      float v[3] = {it.img[p], it.img[p + 1], it.img[p + 2]};
+      it.img[p] = v[perm[0]];
+      it.img[p + 1] = v[perm[1]];
+      it.img[p + 2] = v[perm[2]];
+    }
+  }
+  for (size_t i = 0; i < n; ++i)
+    it.img[i] = std::min(std::max(it.img[i], 0.f), 255.f);
+}
+
+void det_expand(DetItem& it, const float* means, std::mt19937& rng) {
+  std::uniform_real_distribution<float> u01(0.f, 1.f);
+  if (u01(rng) < 0.5f) return;
+  float ratio = 1.f + 3.f * u01(rng);
+  int nw = static_cast<int>(it.w * ratio), nh = static_cast<int>(it.h * ratio);
+  int left = static_cast<int>(u01(rng) * (it.w * ratio - it.w));
+  int top = static_cast<int>(u01(rng) * (it.h * ratio - it.h));
+  std::vector<float> out(static_cast<size_t>(nw) * nh * 3);
+  for (size_t p = 0; p < out.size(); p += 3) {
+    out[p] = means[0];
+    out[p + 1] = means[1];
+    out[p + 2] = means[2];
+  }
+  for (int y = 0; y < it.h; ++y)
+    std::memcpy(out.data() + (static_cast<size_t>(top + y) * nw + left) * 3,
+                it.img.data() + static_cast<size_t>(y) * it.w * 3,
+                sizeof(float) * it.w * 3);
+  it.img = std::move(out);
+  for (size_t b = 0; b < it.boxes.size(); b += 4) {
+    it.boxes[b] += left;
+    it.boxes[b + 2] += left;
+    it.boxes[b + 1] += top;
+    it.boxes[b + 3] += top;
+  }
+  it.w = nw;
+  it.h = nh;
+}
+
+void det_random_crop(DetItem& it, std::mt19937& rng) {
+  // the reference's IoU reject condition is inert (the ssd.pytorch
+  // 'and'-for-'or' bug; see detection/data.py _random_crop) — the
+  // effective rule is center-in-crop, mirrored here
+  std::uniform_real_distribution<float> u01(0.f, 1.f);
+  for (int trial = 0; trial < 20; ++trial) {
+    int mode = static_cast<int>(u01(rng) * 6);
+    if (mode >= 6) mode = 5;
+    if (mode == 0) return;  // keep whole image
+    float cw = (0.3f + 0.7f * u01(rng)) * it.w;
+    float ch = (0.3f + 0.7f * u01(rng)) * it.h;
+    float ar = cw / ch;
+    if (ar < 0.5f || ar > 2.f) continue;
+    float x0 = u01(rng) * (it.w - cw);
+    float y0 = u01(rng) * (it.h - ch);
+    // keep boxes whose centers fall inside the crop
+    std::vector<float> nb;
+    std::vector<int> nl;
+    for (size_t b = 0; b < it.boxes.size(); b += 4) {
+      float cx = (it.boxes[b] + it.boxes[b + 2]) / 2;
+      float cy = (it.boxes[b + 1] + it.boxes[b + 3]) / 2;
+      if (cx > x0 && cx < x0 + cw && cy > y0 && cy < y0 + ch) {
+        nb.push_back(std::max(it.boxes[b], x0) - x0);
+        nb.push_back(std::max(it.boxes[b + 1], y0) - y0);
+        nb.push_back(std::min(it.boxes[b + 2], x0 + cw) - x0);
+        nb.push_back(std::min(it.boxes[b + 3], y0 + ch) - y0);
+        nl.push_back(it.labels[b / 4]);
+      }
+    }
+    if (nb.empty()) continue;
+    // materialize the crop
+    int ix0 = static_cast<int>(x0), iy0 = static_cast<int>(y0);
+    int icw = static_cast<int>(cw), ich = static_cast<int>(ch);
+    if (icw < 1 || ich < 1) continue;
+    std::vector<float> out(static_cast<size_t>(icw) * ich * 3);
+    for (int y = 0; y < ich; ++y)
+      std::memcpy(out.data() + static_cast<size_t>(y) * icw * 3,
+                  it.img.data() + (static_cast<size_t>(iy0 + y) * it.w + ix0) * 3,
+                  sizeof(float) * icw * 3);
+    it.img = std::move(out);
+    it.w = icw;
+    it.h = ich;
+    it.boxes = std::move(nb);
+    it.labels = std::move(nl);
+    return;
+  }
+}
+
+// squash-resize the float canvas to out_hw x out_hw uint8 RGB (bilinear),
+// with optional horizontal mirror
+void det_resize_out(const DetItem& it, int out_hw, bool mirror,
+                    unsigned char* dst) {
+  for (int oy = 0; oy < out_hw; ++oy) {
+    float sy = (oy + 0.5f) * it.h / out_hw - 0.5f;
+    sy = std::min(std::max(sy, 0.f), static_cast<float>(it.h - 1));
+    int iy = static_cast<int>(sy);
+    int iy1 = std::min(iy + 1, it.h - 1);
+    float fy = sy - iy;
+    for (int ox = 0; ox < out_hw; ++ox) {
+      int oxx = mirror ? out_hw - 1 - ox : ox;
+      float sx = (oxx + 0.5f) * it.w / out_hw - 0.5f;
+      sx = std::min(std::max(sx, 0.f), static_cast<float>(it.w - 1));
+      int ix = static_cast<int>(sx);
+      int ix1 = std::min(ix + 1, it.w - 1);
+      float fx = sx - ix;
+      const float* p00 = it.img.data() + (static_cast<size_t>(iy) * it.w + ix) * 3;
+      const float* p01 = it.img.data() + (static_cast<size_t>(iy) * it.w + ix1) * 3;
+      const float* p10 = it.img.data() + (static_cast<size_t>(iy1) * it.w + ix) * 3;
+      const float* p11 = it.img.data() + (static_cast<size_t>(iy1) * it.w + ix1) * 3;
+      size_t off = (static_cast<size_t>(oy) * out_hw + ox) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = (1 - fy) * ((1 - fx) * p00[c] + fx * p01[c]) +
+                  fy * ((1 - fx) * p10[c] + fx * p11[c]);
+        v = std::min(std::max(v + 0.5f, 0.f), 255.f);
+        dst[off + c] = static_cast<unsigned char>(v);
+      }
+    }
+  }
+}
+
+struct DetBatch {
+  std::vector<unsigned char> images;  // (B, s, s, 3) u8
+  std::vector<float> boxes;           // (B, max_boxes, 4) normalized xyxy
+  std::vector<int> labels;            // (B, max_boxes)
+  std::vector<int> counts;            // (B,)
+};
+
+struct DetLoader {
+  std::vector<std::string> paths;
+  std::vector<std::vector<float>> boxes;  // per-image xyxy pixels
+  std::vector<std::vector<int>> labels;
+  int max_boxes, batch, out_hw, threads, queue_depth;
+  bool train;
+  unsigned seed;
+  float means[3] = {123.f, 117.f, 104.f};  // RGB order of the BGR means
+
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_put, cv_get;
+  std::queue<DetBatch> ready;
+  std::atomic<long> next_batch{0};
+  long delivered = 0;
+  long total_batches = 0;
+  std::atomic<bool> stop{false};
+  std::vector<long> order;
+
+  void worker_main(int wid) {
+    std::mt19937 rng(seed * 9176 + wid);
+    std::uniform_real_distribution<float> u01(0.f, 1.f);
+    const size_t px = static_cast<size_t>(out_hw) * out_hw;
+    while (!stop.load()) {
+      long b = next_batch.fetch_add(1);
+      if (b >= total_batches) break;
+      DetBatch out;
+      out.images.assign(static_cast<size_t>(batch) * px * 3, 0);
+      out.boxes.assign(static_cast<size_t>(batch) * max_boxes * 4, 0.f);
+      out.labels.assign(static_cast<size_t>(batch) * max_boxes, 0);
+      out.counts.assign(batch, 0);
+      for (int i = 0; i < batch; ++i) {
+        long idx = order[(b * batch + i) % static_cast<long>(paths.size())];
+        std::vector<unsigned char> rgb;
+        DetItem it;
+        if (!decode_image(paths[idx], true, rgb, &it.w, &it.h) ||
+            it.w < 2 || it.h < 2)
+          continue;  // zero image, zero boxes
+        it.img.resize(rgb.size());
+        for (size_t p = 0; p < rgb.size(); ++p)
+          it.img[p] = static_cast<float>(rgb[p]);
+        it.boxes = boxes[idx];
+        it.labels = labels[idx];
+        bool mirror = false;
+        if (train && !it.boxes.empty()) {
+          det_photometric(it, rng);
+          det_expand(it, means, rng);
+          det_random_crop(it, rng);
+          mirror = u01(rng) < 0.5f;
+        }
+        det_resize_out(it, out_hw, mirror,
+                       out.images.data() + static_cast<size_t>(i) * px * 3);
+        int n = std::min(static_cast<int>(it.boxes.size() / 4), max_boxes);
+        out.counts[i] = n;
+        for (int bi = 0; bi < n; ++bi) {
+          float x1 = it.boxes[bi * 4] / it.w;
+          float y1 = it.boxes[bi * 4 + 1] / it.h;
+          float x2 = it.boxes[bi * 4 + 2] / it.w;
+          float y2 = it.boxes[bi * 4 + 3] / it.h;
+          if (mirror) {
+            float nx1 = 1.f - x2, nx2 = 1.f - x1;
+            x1 = nx1;
+            x2 = nx2;
+          }
+          float* dstb = out.boxes.data() +
+                        (static_cast<size_t>(i) * max_boxes + bi) * 4;
+          dstb[0] = x1;
+          dstb[1] = y1;
+          dstb[2] = x2;
+          dstb[3] = y2;
+          out.labels[static_cast<size_t>(i) * max_boxes + bi] = it.labels[bi];
+        }
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_put.wait(lk, [&] { return static_cast<int>(ready.size()) < queue_depth || stop.load(); });
+      if (stop.load()) break;
+      ready.push(std::move(out));
+      cv_get.notify_one();
+    }
+    std::unique_lock<std::mutex> lk(mu);
+    cv_get.notify_all();
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* fndt_create(const char** img_paths, const float* flat_boxes,
+                  const int* box_counts, const int* flat_labels, long n,
+                  int max_boxes, int batch, int out_hw, int threads,
+                  int train, unsigned seed, int queue_depth) {
+  auto* l = new DetLoader();
+  l->paths.reserve(n);
+  l->boxes.resize(n);
+  l->labels.resize(n);
+  long off = 0;
+  for (long i = 0; i < n; ++i) {
+    l->paths.emplace_back(img_paths[i]);
+    int c = box_counts[i];
+    l->boxes[i].assign(flat_boxes + off * 4, flat_boxes + (off + c) * 4);
+    l->labels[i].assign(flat_labels + off, flat_labels + off + c);
+    off += c;
+  }
+  l->max_boxes = max_boxes;
+  l->batch = batch;
+  l->out_hw = out_hw;
+  l->threads = threads;
+  l->train = train != 0;
+  l->seed = seed;
+  l->queue_depth = queue_depth;
+  l->total_batches = n / batch;
+  l->order.resize(n);
+  for (long i = 0; i < n; ++i) l->order[i] = i;
+  if (l->train) {
+    std::mt19937_64 rng(seed);
+    std::shuffle(l->order.begin(), l->order.end(), rng);
+  }
+  for (int t = 0; t < threads; ++t)
+    l->workers.emplace_back(&DetLoader::worker_main, l, t);
+  return l;
+}
+
+long fndt_batches_per_epoch(void* h) {
+  return static_cast<DetLoader*>(h)->total_batches;
+}
+
+int fndt_next(void* h, unsigned char* images, float* boxes_out,
+              int* labels_out, int* counts_out) {
+  auto* l = static_cast<DetLoader*>(h);
+  std::unique_lock<std::mutex> lk(l->mu);
+  l->cv_get.wait(lk, [&] {
+    return !l->ready.empty() || l->delivered >= l->total_batches ||
+           l->stop.load();
+  });
+  if (l->ready.empty()) return 0;
+  DetBatch b = std::move(l->ready.front());
+  l->ready.pop();
+  ++l->delivered;
+  l->cv_put.notify_one();
+  lk.unlock();
+  std::memcpy(images, b.images.data(), b.images.size());
+  std::memcpy(boxes_out, b.boxes.data(), b.boxes.size() * sizeof(float));
+  std::memcpy(labels_out, b.labels.data(), b.labels.size() * sizeof(int));
+  std::memcpy(counts_out, b.counts.data(), b.counts.size() * sizeof(int));
+  return 1;
+}
+
+void fndt_destroy(void* h) {
+  auto* l = static_cast<DetLoader*>(h);
+  l->stop.store(true);
+  l->cv_put.notify_all();
+  l->cv_get.notify_all();
+  for (auto& t : l->workers) t.join();
+  delete l;
+}
 
 void* fnsl_create(const char** img_paths, const char** mask_paths, long n,
                   int batch, int crop_h, int crop_w, int threads, int train,
