@@ -86,3 +86,24 @@ def test_trainer_dispatch_selects_coco(coco_root):
 def test_missing_coco_root_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         COCODetection(str(tmp_path))
+
+
+def test_coco_annotations_feed_native_loader(coco_root):
+    """COCODetection.annotations() hands (paths, boxes, labels) to the C++
+    detection loader — same contract the VOC path is tested with
+    (test_native_det_loader.py)."""
+    pytest.importorskip("frostnet_tpu.native")
+    from frostnet_tpu.detection.data import COCODetection
+    from frostnet_tpu.native import NativeDetectionLoader
+
+    ds = COCODetection(str(coco_root), split="train2017", batch_size=2)
+    paths, boxes, labels = ds.annotations()
+    assert len(paths) == len(boxes) == len(labels) == len(ds.samples)
+    ld = NativeDetectionLoader(paths, boxes, labels, batch_size=2, size=64,
+                               train=False, threads=1)
+    batch = next(iter(ld))
+    assert batch["image"].shape == (2, 64, 64, 3)
+    # each synthetic image carries at least one annotation
+    assert (batch["valid"].sum(axis=1) >= 1).all()
+    assert (batch["boxes"][batch["valid"]] >= 0).all()
+    assert (batch["boxes"][batch["valid"]] <= 1).all()
