@@ -27,6 +27,7 @@ from .fake_quant import (
 from .folding import fold_bn, bn_scale_factor
 from .freeze import freeze
 from .export import export_int8, load_int8
+from .serialize import export_serving, load_serving
 from .qtensor import QTensor
 
 __all__ = [
@@ -53,5 +54,7 @@ __all__ = [
     "freeze",
     "export_int8",
     "load_int8",
+    "export_serving",
+    "load_serving",
     "QTensor",
 ]

@@ -34,19 +34,33 @@ from .quant import freeze, load_int8
 
 
 class Int8Predictor:
-    """Jitted frozen-INT8 classifier over a loaded artifact/checkpoint."""
+    """Jitted frozen-INT8 classifier over an artifact/checkpoint/program.
+
+    ``program=`` serves a serialized StableHLO program written by
+    :func:`~frostnet_tpu.quant.serialize.export_serving` — no model code
+    or variables tree is loaded at all in that case.
+    """
 
     def __init__(self, model_name: str, num_classes: int = 1000,
                  artifact: Optional[str] = None,
                  checkpoint: Optional[str] = None,
+                 program: Optional[str] = None,
                  image_size: int = 224, dtype=jnp.bfloat16):
+        if sum(x is not None for x in (artifact, checkpoint, program)) != 1:
+            raise ValueError(
+                "pass exactly one of artifact= / checkpoint= / program=")
+        self.image_size = image_size
+        self.variables = None
+        if program is not None:
+            from .quant import load_serving
+
+            self.model = None
+            self._apply = load_serving(program)
+            return
         from .models import create_model
 
-        if (artifact is None) == (checkpoint is None):
-            raise ValueError("pass exactly one of artifact= / checkpoint=")
         self.model = create_model(model_name, num_classes=num_classes,
                                   dtype=dtype)
-        self.image_size = image_size
         if artifact is not None:
             variables = load_int8(artifact)
         else:
@@ -61,7 +75,18 @@ class Int8Predictor:
             variables = restore_model_variables(checkpoint, state).model_variables
         # freeze(): jit closure over the variables — weight quantization
         # constant-folds at compile time (torch.quantization.convert)
+        self.variables = variables
         self._apply = freeze(self.model, variables)
+
+    def export_program(self, path: str, batch: Optional[int] = None) -> int:
+        """Write the serialized StableHLO serving program to ``path``."""
+        from .quant import export_serving
+
+        if self.variables is None:
+            raise ValueError("predictor was built from a program artifact; "
+                             "nothing to re-export")
+        return export_serving(self.model, self.variables, path,
+                              image_size=self.image_size, batch=batch)
 
     def __call__(self, images: np.ndarray) -> jnp.ndarray:
         """(B, S, S, 3) float images -> (B, C) logits (device array)."""
@@ -91,7 +116,11 @@ def _batches(args) -> Iterator[np.ndarray]:
 def main(args):
     pred = Int8Predictor(args.model, num_classes=args.num_classes,
                          artifact=args.artifact, checkpoint=args.checkpoint,
-                         image_size=args.image_size)
+                         program=args.program, image_size=args.image_size)
+    if args.export_program:
+        size = pred.export_program(args.export_program)
+        print(f"[serve] serving program -> {args.export_program} "
+              f"({size / 1e6:.2f} MB)")
     gen = _batches(args)
     first, _ = next(gen)
     np.asarray(pred(first))  # compile
@@ -115,7 +144,7 @@ def main(args):
     pipeline_ips = args.batch_size * args.iters / (time.perf_counter() - t0)
 
     report = {
-        "model": args.model,
+        "model": f"program:{args.program}" if args.program else args.model,
         "batch_size": args.batch_size,
         "iters": args.iters,
         "latency_ms": {"p50": round(float(np.percentile(lat_ms, 50)), 2),
@@ -150,6 +179,11 @@ def cli():
     p.add_argument("--model", default="frostnet_quant_large_1_0")
     p.add_argument("--artifact", default=None, help="export_int8 .npz")
     p.add_argument("--checkpoint", default=None, help="trainer checkpoint dir")
+    p.add_argument("--program", default=None,
+                   help="serialized StableHLO serving program "
+                        "(quant.export_serving); runs without model code")
+    p.add_argument("--export_program", default=None,
+                   help="also write the serialized serving program here")
     p.add_argument("--num_classes", type=int, default=1000)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--batch_size", type=int, default=8)
