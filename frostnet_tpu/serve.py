@@ -41,16 +41,27 @@ class Int8Predictor:
     or variables tree is loaded at all in that case.
     """
 
+    _mesh = None  # class default so hand-built instances stay single-chip
+
     def __init__(self, model_name: str, num_classes: int = 1000,
                  artifact: Optional[str] = None,
                  checkpoint: Optional[str] = None,
                  program: Optional[str] = None,
-                 image_size: int = 224, dtype=jnp.bfloat16):
+                 image_size: int = 224, dtype=jnp.bfloat16, dp: int = 1):
         if sum(x is not None for x in (artifact, checkpoint, program)) != 1:
             raise ValueError(
                 "pass exactly one of artifact= / checkpoint= / program=")
         self.image_size = image_size
         self.variables = None
+        # dp>1: shard each request batch over the first `dp` chips — the
+        # int8 closure constants replicate, XLA runs the frozen graph
+        # shard-local with zero collectives (serving-at-scale path, tested
+        # in test_int8_export.py::test_frozen_int8_serving_data_parallel)
+        self._mesh = None
+        if dp > 1:
+            from .parallel import make_mesh
+
+            self._mesh = make_mesh(dp=dp, devices=jax.devices()[:dp])
         if program is not None:
             from .quant import load_serving
 
@@ -90,7 +101,12 @@ class Int8Predictor:
 
     def __call__(self, images: np.ndarray) -> jnp.ndarray:
         """(B, S, S, 3) float images -> (B, C) logits (device array)."""
-        return self._apply(jnp.asarray(images))
+        x = jnp.asarray(images)
+        if self._mesh is not None:
+            from .parallel import shard_batch
+
+            x = shard_batch({"image": x}, self._mesh)["image"]
+        return self._apply(x)
 
     def predict_topk(self, images: np.ndarray, k: int = 5):
         logits = np.asarray(self(images))
@@ -116,7 +132,8 @@ def _batches(args) -> Iterator[np.ndarray]:
 def main(args):
     pred = Int8Predictor(args.model, num_classes=args.num_classes,
                          artifact=args.artifact, checkpoint=args.checkpoint,
-                         program=args.program, image_size=args.image_size)
+                         program=args.program, image_size=args.image_size,
+                         dp=args.dp)
     if args.export_program:
         size = pred.export_program(args.export_program)
         print(f"[serve] serving program -> {args.export_program} "
@@ -187,6 +204,8 @@ def cli():
     p.add_argument("--num_classes", type=int, default=1000)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard each request batch over this many chips")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--source", choices=("synthetic", "folder"),
                    default="synthetic")

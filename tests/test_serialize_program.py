@@ -114,3 +114,17 @@ def test_serve_predictor_program_path(trained, tmp_path):
                                   np.asarray(pred(x)))
     with pytest.raises(ValueError):
         served.export_program(str(tmp_path / "again.shlo"))
+
+
+def test_serve_predictor_dp_sharded_program(trained, tmp_path):
+    """A program-served batch sharded over dp chips matches dp=1."""
+    from frostnet_tpu.serve import Int8Predictor
+
+    model, variables = trained
+    prog = str(tmp_path / "model.shlo")
+    export_serving(model, variables, prog, image_size=32)
+
+    one = Int8Predictor("unused", program=prog, image_size=32)
+    dp4 = Int8Predictor("unused", program=prog, image_size=32, dp=4)
+    x = np.random.RandomState(4).randn(8, 32, 32, 3).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(dp4(x)), np.asarray(one(x)))
