@@ -99,7 +99,11 @@ def _expand(img, boxes, rng):
     left = rng.uniform(0, w * ratio - w)
     top = rng.uniform(0, h * ratio - h)
     out = np.zeros((int(h * ratio), int(w * ratio), c), img.dtype)
-    out[...] = MEANS
+    # The working frame here is RGB; the reference fills its cv2 BGR frame
+    # with MEANS so that after SubtractMeans the fill is exactly 0
+    # (augmentations.py:313-328). Fill the channel-reversed means so our
+    # RGB->BGR flip + subtract in ssd_augment lands on the same 0 fill.
+    out[...] = MEANS[::-1]
     out[int(top):int(top) + h, int(left):int(left) + w] = img
     boxes = boxes.copy()
     boxes[:, [0, 2]] += left

@@ -822,7 +822,13 @@ int fndt_next(void* h, unsigned char* images, float* boxes_out,
 
 void fndt_destroy(void* h) {
   auto* l = static_cast<DetLoader*>(h);
-  l->stop.store(true);
+  // Store `stop` under the mutex: a worker that has just evaluated its
+  // wait predicate (false) still holds `mu` until it blocks, so an unlocked
+  // store+notify in that window is a lost wakeup and join() deadlocks.
+  {
+    std::lock_guard<std::mutex> lk(l->mu);
+    l->stop.store(true);
+  }
   l->cv_put.notify_all();
   l->cv_get.notify_all();
   for (auto& t : l->workers) t.join();
@@ -886,7 +892,13 @@ int fnsl_next(void* h, unsigned char* images, unsigned char* masks) {
 
 void fnsl_destroy(void* h) {
   auto* l = static_cast<SegLoader*>(h);
-  l->stop.store(true);
+  // Store `stop` under the mutex: a worker that has just evaluated its
+  // wait predicate (false) still holds `mu` until it blocks, so an unlocked
+  // store+notify in that window is a lost wakeup and join() deadlocks.
+  {
+    std::lock_guard<std::mutex> lk(l->mu);
+    l->stop.store(true);
+  }
   l->cv_put.notify_all();
   l->cv_get.notify_all();
   for (auto& t : l->workers) t.join();
@@ -950,7 +962,13 @@ int fndl_next(void* h, void* images, int* labels_out) {
 
 void fndl_destroy(void* h) {
   auto* l = static_cast<Loader*>(h);
-  l->stop.store(true);
+  // Store `stop` under the mutex: a worker that has just evaluated its
+  // wait predicate (false) still holds `mu` until it blocks, so an unlocked
+  // store+notify in that window is a lost wakeup and join() deadlocks.
+  {
+    std::lock_guard<std::mutex> lk(l->mu);
+    l->stop.store(true);
+  }
   l->cv_put.notify_all();
   l->cv_get.notify_all();
   for (auto& t : l->workers) t.join();

@@ -41,7 +41,7 @@ class Int8Predictor:
     or variables tree is loaded at all in that case.
     """
 
-    _mesh = None  # class default so hand-built instances stay single-chip
+    _dp_devices = None  # class default so hand-built instances stay single-chip
 
     def __init__(self, model_name: str, num_classes: int = 1000,
                  artifact: Optional[str] = None,
@@ -56,12 +56,13 @@ class Int8Predictor:
         # dp>1: shard each request batch over the first `dp` chips — the
         # int8 closure constants replicate, XLA runs the frozen graph
         # shard-local with zero collectives (serving-at-scale path, tested
-        # in test_int8_export.py::test_frozen_int8_serving_data_parallel)
-        self._mesh = None
+        # in test_int8_export.py::test_frozen_int8_serving_data_parallel).
+        # The mesh is picked per request batch size (make_dp_mesh) so a
+        # batch not divisible by dp shards over fewer chips instead of
+        # crashing — the DataParallel small-batch behavior.
         if dp > 1:
-            from .parallel import make_mesh
-
-            self._mesh = make_mesh(dp=dp, devices=jax.devices()[:dp])
+            self._dp_devices = jax.devices()[:dp]
+            self._dp_meshes = {}
         if program is not None:
             from .quant import load_serving
 
@@ -102,10 +103,14 @@ class Int8Predictor:
     def __call__(self, images: np.ndarray) -> jnp.ndarray:
         """(B, S, S, 3) float images -> (B, C) logits (device array)."""
         x = jnp.asarray(images)
-        if self._mesh is not None:
-            from .parallel import shard_batch
+        if self._dp_devices is not None:
+            from .parallel import make_dp_mesh, shard_batch
 
-            x = shard_batch({"image": x}, self._mesh)["image"]
+            mesh = self._dp_meshes.get(len(x))
+            if mesh is None:
+                mesh = self._dp_meshes.setdefault(
+                    len(x), make_dp_mesh(len(x), devices=self._dp_devices))
+            x = shard_batch({"image": x}, mesh)["image"]
         return self._apply(x)
 
     def predict_topk(self, images: np.ndarray, k: int = 5):

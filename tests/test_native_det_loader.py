@@ -155,3 +155,23 @@ def test_trainer_wiring_runs_a_uint8_step(tmp_path):
     step = make_det_train_step(feat, head, QAT, priors, 21)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_expand_fill_is_zero_after_normalization():
+    """Expand's mean fill must land on exactly 0 after the RGB->BGR flip +
+    mean subtraction — the reference fills its BGR frame with MEANS so
+    SubtractMeans zeroes it (augmentations.py:313-328,413). Pins the python
+    loader to the same contract the C++ worker implements (means[] fill)."""
+    from frostnet_tpu.detection.data import MEANS, _expand
+
+    img = np.full((16, 16, 3), 200, np.float32)  # RGB working frame
+    boxes = np.array([[2.0, 2.0, 10.0, 10.0]], np.float32)
+
+    class AlwaysExpand(np.random.RandomState):
+        def randint(self, *a, **k):  # _expand's coin toss: 0 = do expand
+            return 0
+
+    out, _ = _expand(img, boxes, AlwaysExpand(0))
+    assert out.shape[0] > img.shape[0]
+    fill = out[-1, -1]  # bottom-right corner is always fill
+    np.testing.assert_array_equal(fill[::-1] - np.asarray(MEANS), 0.0)

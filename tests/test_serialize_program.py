@@ -128,3 +128,10 @@ def test_serve_predictor_dp_sharded_program(trained, tmp_path):
     dp4 = Int8Predictor("unused", program=prog, image_size=32, dp=4)
     x = np.random.RandomState(4).randn(8, 32, 32, 3).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(dp4(x)), np.asarray(one(x)))
+
+    # batch not divisible by dp: shards over the largest divisor (the
+    # DataParallel small-batch behavior) instead of crashing
+    dp3 = Int8Predictor("unused", program=prog, image_size=32, dp=3)
+    np.testing.assert_array_equal(np.asarray(dp3(x)), np.asarray(one(x)))
+    x5 = x[:5]
+    np.testing.assert_array_equal(np.asarray(dp3(x5)), np.asarray(one(x5)))
