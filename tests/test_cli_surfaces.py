@@ -64,3 +64,18 @@ def test_script_help_parses(script):
         capture_output=True, text=True, timeout=180, env=env, cwd=repo)
     assert r.returncode == 0, f"{script} --help failed:\n{r.stderr[-2000:]}"
     assert "usage:" in r.stdout or "Usage" in r.stdout
+
+
+def test_pyproject_console_scripts_resolve():
+    """Every [project.scripts] target in pyproject.toml imports and is
+    callable — the installed console scripts cannot drift from the code."""
+    import importlib
+    import tomllib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "pyproject.toml"), "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert len(scripts) >= 10
+    for name, target in scripts.items():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn)), name
