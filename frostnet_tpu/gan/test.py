@@ -40,6 +40,14 @@ def main(args):
         from .data import ColorizationDataset
         ds = ColorizationDataset(args.data_root, "test", 1,
                                  args.crop_size, args.crop_size, seed=1)
+    elif args.dataset == "single":
+        # the reference's TestModel + single_dataset flow (test_model.py,
+        # data/single_dataset.py): apply a saved G to one directory of
+        # images — no paired B domain, visuals are real/fake only
+        from .data import SingleDataset
+        ds = SingleDataset(args.data_root, 1,
+                           load_size=args.crop_size,
+                           crop_size=args.crop_size, seed=1)
     else:
         ds = AlignedDataset(args.data_root, "test", 1,
                             args.crop_size, args.crop_size, seed=1)
@@ -72,7 +80,9 @@ def main(args):
             }
         else:
             visuals = {"real_A": batch["A"], "fake_B_qat": fake_qat,
-                       "fake_B_int8": fake_int8, "real_B": batch["B"]}
+                       "fake_B_int8": fake_int8}
+            if "B" in batch:  # single_dataset has no paired domain
+                visuals["real_B"] = batch["B"]
         gallery.add_images(visuals, f"img{i:04d}")
         logger.info(f"[{i}] qat/int8 delta: "
                     f"{np.abs(fake_qat - fake_int8).max():.4f}")
@@ -85,7 +95,9 @@ def cli():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--netG", default="resnet_6blocks")
-    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--dataset", default="synthetic",
+                   help="synthetic | colorization | single (one unpaired "
+                        "dir, TestModel flow) | anything else = aligned A|B")
     p.add_argument("--data_root", default="./datasets/facades")
     p.add_argument("--crop_size", type=int, default=256)
     p.add_argument("--num_test", type=int, default=4)

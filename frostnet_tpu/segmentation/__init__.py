@@ -6,6 +6,7 @@ from .data import (
     CITYSCAPES_IGNORE,
     CITYSCAPES_CLASS_WEIGHTS,
     CityscapesSegmentation,
+    CustomSegmentation,
     VOCSegmentation,
     SyntheticSegmentation,
     PairedTransforms,
@@ -25,6 +26,7 @@ __all__ = [
     "CITYSCAPES_IGNORE",
     "CITYSCAPES_CLASS_WEIGHTS",
     "CityscapesSegmentation",
+    "CustomSegmentation",
     "VOCSegmentation",
     "SyntheticSegmentation",
     "PairedTransforms",

@@ -127,6 +127,50 @@ class CityscapesSegmentation:
                    "label": np.stack(ms)}
 
 
+class CustomSegmentation(CityscapesSegmentation):
+    """User-supplied file-list dataset — the layout of the reference's
+    custom-dataset sample (data_loader/segmentation/
+    custom_dataset_loader.py): ``root/{train,val}.txt`` lines of
+    "img.jpg, mask.png" with images under ``root/images`` and masks under
+    ``root/annotations``; bare root-relative paths also work. The label
+    space is the user's (``--num_classes``)."""
+
+    def __init__(self, root, train=True, crop_size=(512, 512),
+                 scale=(0.5, 1.0), batch_size=16, seed=0):
+        super().__init__(root, train=train, crop_size=crop_size, scale=scale,
+                         batch_size=batch_size, seed=seed)
+        fixed = []
+        for img_p, mask_p in self.pairs:
+            img_p, mask_p = img_p.strip(), mask_p.strip()
+            if not os.path.isfile(os.path.join(root, img_p)):
+                img_p = os.path.join("images", img_p)
+            if not os.path.isfile(os.path.join(root, mask_p)):
+                mask_p = os.path.join("annotations", mask_p)
+            for p in (img_p, mask_p):
+                if not os.path.isfile(os.path.join(root, p)):
+                    raise FileNotFoundError(f"{os.path.join(root, p)} from "
+                                            f"the {'train' if train else 'val'}"
+                                            " list does not exist")
+            fixed.append((img_p, mask_p))
+        self.pairs = fixed
+
+    def _load_pair(self, img_p, mask_p, rng):
+        if self.train:
+            return super()._load_pair(img_p, mask_p, rng)
+        # val follows the sample's Resize(crop)+Normalize protocol
+        # (custom_dataset_loader.py:88-93) — user images vary in size, the
+        # resize is what makes fixed-shape batching possible
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.root, img_p)).convert("RGB")
+        mask = Image.open(os.path.join(self.root, mask_p))
+        ch, cw = self.crop_size
+        img = np.asarray(img.resize((cw, ch), Image.BILINEAR))
+        mask = np.asarray(mask.resize((cw, ch), Image.NEAREST))
+        img = (img.astype(np.float32) / 255.0 - self.tf.mean) / self.tf.std
+        return img, mask.astype(np.int32)
+
+
 class VOCSegmentation:
     """Pascal VOC segmentation from the standard VOCdevkit layout
     (data_loader/segmentation/voc.py:13-108). Optionally unions a COCO-as-VOC

@@ -65,7 +65,8 @@ def main(args):
     # espnet width scale — a mismatch would silently eval a different
     # network than the one trained (or fail to restore the checkpoint)
     model_kw = dict(num_classes=cfg.num_classes,
-                    dataset="city" if cfg.dataset != "pascal" else "pascal")
+                    dataset="pascal" if cfg.dataset in ("pascal", "custom")
+                    else "city")
     if getattr(args, "width_scale", None) is not None:
         model_kw["s"] = args.width_scale
     model = get_seg_model(cfg.model, **model_kw)
@@ -77,6 +78,11 @@ def main(args):
         from .data import VOCSegmentation
         ds = VOCSegmentation(args.data_dir, train=False,
                              batch_size=cfg.batch_size)
+    elif cfg.dataset == "custom":
+        from .data import CustomSegmentation
+        ds = CustomSegmentation(args.data_dir, train=False,
+                                crop_size=(cfg.crop_size, cfg.crop_size),
+                                batch_size=cfg.batch_size)
     else:
         ds = CityscapesSegmentation(args.data_dir, train=False,
                                     batch_size=cfg.batch_size)

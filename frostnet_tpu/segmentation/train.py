@@ -31,6 +31,7 @@ from ..utils.losses import binary_cross_entropy_with_logits, cross_entropy
 from ..utils.metrics import confusion_matrix, miou_from_confusion
 from ..train.state import QATTrainState, _prep_image, create_train_state
 from .data import (
+    CustomSegmentation,
     CITYSCAPES_CLASS_WEIGHTS,
     CITYSCAPES_IGNORE,
     CityscapesSegmentation,
@@ -43,7 +44,7 @@ from .models import get_seg_model
 @dataclasses.dataclass
 class SegConfig:
     model: str = "mobilenetv3_RE_small"
-    dataset: str = "synthetic"      # 'city' | 'pascal' | 'synthetic'
+    dataset: str = "synthetic"      # 'city' | 'pascal' | 'custom' | 'synthetic'
     data_dir: str = "./data/cityscapes"  # pascal: the VOCdevkit root
     coco_list: Optional[str] = None  # pascal: extra COCO-as-VOC "img,mask"
                                      # pretraining list (reference --coco_path,
@@ -80,7 +81,11 @@ def resolve_dataset_defaults(cfg: SegConfig) -> SegConfig:
     city -> 19 / 768; synthetic -> 19 / 96 (smoke-sized). Explicitly passed
     values are always respected — no sentinel-equality guessing."""
     fills = {"pascal": (VOCSegmentation.NUM_CLASSES, 512),
-             "city": (19, 768)}.get(cfg.dataset, (19, 96))
+             "city": (19, 768),
+             # the reference custom sample is 2-class person/background at
+             # crop 513 (custom_dataset_loader.py:13,18) — 512 keeps the
+             # power-of-two crop convention
+             "custom": (2, 512)}.get(cfg.dataset, (19, 96))
     if cfg.num_classes is None:
         cfg.num_classes = fills[0]
     if cfg.crop_size is None:
@@ -103,8 +108,13 @@ def build_seg_dataset(cfg: SegConfig, train: bool):
         ds = CityscapesSegmentation(
             cfg.data_dir, train=train, crop_size=(cfg.crop_size, cfg.crop_size),
             batch_size=cfg.batch_size, seed=cfg.seed)
+    elif cfg.dataset == "custom":
+        ds = CustomSegmentation(
+            cfg.data_dir, train=train, crop_size=(cfg.crop_size, cfg.crop_size),
+            batch_size=cfg.batch_size, seed=cfg.seed)
     else:
-        raise ValueError(f"unknown dataset {cfg.dataset!r} (city|pascal|synthetic)")
+        raise ValueError(
+            f"unknown dataset {cfg.dataset!r} (city|pascal|custom|synthetic)")
     if cfg.loader == "native":
         # hand the Python dataset's (img, mask) path list to the C++ pool;
         # city pairs are root-relative, VOC pairs absolute. Val protocol:
@@ -112,7 +122,7 @@ def build_seg_dataset(cfg: SegConfig, train: bool):
         # at the native 1024x2048 (whole-frame resize == identity there).
         try:
             from ..native import NativeSegmentationLoader
-            root = cfg.data_dir if cfg.dataset == "city" else ""
+            root = cfg.data_dir if cfg.dataset in ("city", "custom") else ""
             imgs = [os.path.join(root, a) for a, _ in ds.pairs]
             masks = [os.path.join(root, b) for _, b in ds.pairs]
             if train:
@@ -218,7 +228,8 @@ def main(cfg: SegConfig):
     # LR-ASPP pool geometry follows the dataset (LRASPP.py pool sizes:
     # city (37,12), pascal/other (25,8))
     model_kw = dict(num_classes=cfg.num_classes,
-                    dataset="city" if cfg.dataset != "pascal" else "pascal")
+                    dataset="pascal" if cfg.dataset in ("pascal", "custom")
+                    else "city")
     if cfg.width_scale is not None:  # espnet/espnetv2 --s channel scale
         model_kw["s"] = cfg.width_scale
     model = get_seg_model(cfg.model, **model_kw)

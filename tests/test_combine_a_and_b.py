@@ -302,3 +302,26 @@ def test_gan_trainer_accepts_decay_epochs():
     counts = [int(x) for x in jax.tree.leaves(g_state.opt_state)
               if getattr(x, "ndim", None) == 0 and x.dtype == np.int32]
     assert 6 in counts, counts
+
+
+def test_gan_tester_single_dataset(tmp_path):
+    """--dataset single (reference TestModel + single_dataset flow): apply
+    the generator to one directory of unpaired images; visuals carry no
+    real_B."""
+    import argparse
+    from PIL import Image
+    from frostnet_tpu.gan import test as gan_test
+
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
+            tmp_path / f"{i}.png")
+    args = argparse.Namespace(
+        checkpoint=None, netG="resnet_6blocks", dataset="single",
+        data_root=str(tmp_path), crop_size=32, num_test=2,
+        direction="AtoB", results_dir=str(tmp_path / "results"),
+        export_int8=None)
+    gan_test.main(args)
+    imgs = os.listdir(tmp_path / "results" / "web" / "images")
+    assert any("fake_B_int8" in f for f in imgs)
+    assert not any("real_B" in f for f in imgs)
