@@ -46,6 +46,7 @@ SCRIPTS = [
     "scripts/bench_workload_serving.py",
     "scripts/combine_a_and_b.py",
     "scripts/latency_table.py",
+    "scripts/plot_metrics.py",
     "scripts/prepare_cityscapes_pix2pix.py",
     "scripts/process_cityscapes.py",
     "scripts/scaling_analysis.py",
