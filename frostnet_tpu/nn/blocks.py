@@ -116,7 +116,12 @@ class QSEModule(fnn.Module):
         s = QHsigmoid(self.qconfig, name="hsig")(s, mode)
         s = s[:, None, None, :]
         if self.quantized:
-            return QMul(self.qconfig, name="quant_mul")(x, s * jnp.ones_like(xf), mode)
+            # pass the (N,1,1,C) gate directly — QMul's multiply broadcasts
+            # and its observer sees the same min/max; materializing the gate
+            # at full resolution (the old `s * ones_like(xf)`) wrote an f32
+            # broadcast per SE block at entry level (8.8 MB/img each in the
+            # seg INT8 HLO, round-4 study)
+            return QMul(self.qconfig, name="quant_mul")(x, s, mode)
         return xf * s
 
 

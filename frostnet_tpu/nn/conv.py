@@ -196,31 +196,72 @@ class QConvBNAct(fnn.Module):
             w_scale, w_zp = calculate_qparams(w_obs.value, wspec)
             qw = quantize(wf, w_scale, w_zp, wspec, channel_axis=w_ch_axis)
 
-            # True int8 x int8 -> int32 conv (MXU path). The uint8 activation
-            # is shifted by 128 to fit int8, and the input is PADDED WITH THE
-            # ZERO POINT (qnnpack pad semantics: out-of-image taps contribute
-            # exactly zero), so the zero-point correction collapses to a
-            # per-out-channel constant:
-            #   acc_true = conv(pad(qx-128, zp-128), qw, VALID)
-            #              - (zp-128) * sum_taps(qw)[oc]
-            # Bit-identical to the padded-conv + valid-tap-sum formulation
-            # (integer math throughout), but with NO second conv — the old
-            # conv(ones, qw) correction relied on XLA constant folding that
-            # does not fire for large spatial constants, doubling serving
-            # conv cost (round-3 fix; reference requant semantics per
-            # torch.ao.nn.quantized.Conv2d / qnnpack).
+            # True int8 x int8 -> int32 compute. The uint8 activation is
+            # shifted by 128 to fit int8, and out-of-image taps see THE ZERO
+            # POINT (qnnpack pad semantics: padding contributes exactly zero),
+            # so the zero-point correction collapses to a per-out-channel
+            # constant:  acc_true = acc_padded - (zp-128) * sum_taps(qw)[oc].
+            # Bit-identical integer math in all three formulations below
+            # (int32 addition is exact under reordering); reference requant
+            # semantics per torch.ao.nn.quantized.Conv2d / qnnpack.
+            #
+            # The FORM matters enormously on TPU (round-4 HLO study,
+            # scripts/diag_int8_fusion.py): `lax.conv` with
+            # preferred_element_type=s32 cannot fuse its requant epilogue, so
+            # the s32 accumulator and a layout copy of it hit HBM (8 B/elem
+            # extra) — at dense-prediction resolutions that DOUBLED seg
+            # serving bytes (952 -> 1709 MB/img, VERDICT r3). Measured
+            # alternatives at (4,256,512,64):
+            #   * 1x1 conv as a 4-D dot_general: epilogue fuses into the dot,
+            #     1208 -> 134 MB accessed (9x).
+            #   * depthwise conv as k*k shifted multiply-adds: ONE loop
+            #     fusion, no space-to-batch machinery, 1608 -> 134 MB (12x;
+            #     also 11x less than the bf16 dw conv at this size).
+            # Dense k>1 convs (stems, GAN blocks, atrous heads) keep the conv
+            # formulation — the MXU needs materialized operands there.
             x8 = (x.q.astype(jnp.int32) - 128).astype(jnp.int8)
             zp_eff = (x.zero_point - 128).astype(jnp.int32)
             (ph_lo, ph_hi), (pw_lo, pw_hi) = padding
-            x8p = jax.lax.pad(
-                x8, zp_eff.astype(jnp.int8),
-                ((0, 0, 0), (ph_lo, ph_hi, 0), (pw_lo, pw_hi, 0), (0, 0, 0)))
-            acc = jax.lax.conv_general_dilated(
-                x8p, qw, strides, ((0, 0), (0, 0)), rhs_dilation=dilation,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.groups,
-                preferred_element_type=jnp.int32,
-            )
+            depthwise = self.groups > 1 and self.groups == in_features \
+                and qw.shape[2] == 1
+            if ph_lo or ph_hi or pw_lo or pw_hi:
+                x8p = jax.lax.pad(
+                    x8, zp_eff.astype(jnp.int8),
+                    ((0, 0, 0), (ph_lo, ph_hi, 0), (pw_lo, pw_hi, 0), (0, 0, 0)))
+            else:
+                x8p = x8
+            if kh == 1 and kw == 1 and self.groups == 1:
+                if strides != (1, 1):
+                    x8p = x8p[:, ::strides[0], ::strides[1], :]
+                acc = jax.lax.dot_general(
+                    x8p, qw[0, 0], (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            elif depthwise:
+                hp, wp = x8p.shape[1], x8p.shape[2]
+                dh, dw_ = dilation
+                sh, sw = strides
+                ho = (hp - dh * (kh - 1) - 1) // sh + 1
+                wo = (wp - dw_ * (kw - 1) - 1) // sw + 1
+                # channel multiplier m: lax group-major ordering means output
+                # channel oc reads input channel oc // m
+                mult = self.features // self.groups
+                acc = jnp.zeros((x8p.shape[0], ho, wo, self.features), jnp.int32)
+                for dy in range(kh):
+                    for dx in range(kw):
+                        tap = qw[dy, dx, 0].astype(jnp.int32)
+                        sl = x8p[:, dy * dh:dy * dh + (ho - 1) * sh + 1:sh,
+                                 dx * dw_:dx * dw_ + (wo - 1) * sw + 1:sw, :]
+                        sl = sl.astype(jnp.int32)
+                        if mult > 1:
+                            sl = jnp.repeat(sl, mult, axis=3)
+                        acc = acc + tap * sl
+            else:
+                acc = jax.lax.conv_general_dilated(
+                    x8p, qw, strides, ((0, 0), (0, 0)), rhs_dilation=dilation,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.groups,
+                    preferred_element_type=jnp.int32,
+                )
             w_sum = jnp.sum(qw.astype(jnp.int32), axis=(0, 1, 2))
             acc = acc - zp_eff * w_sum
 

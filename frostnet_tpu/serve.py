@@ -1,10 +1,19 @@
-"""Batched INT8 classification serving.
+"""Batched INT8 serving for every quantized workload.
 
 The deployment half the reference leaves implicit (it stops at saving the
-converted state dict, Classification/evaluate.py:140-143): load an INT8
-artifact written by ``--export_int8`` (or any trainer checkpoint), build the
-jitted frozen-INT8 apply, and serve batched predictions with honest latency
+converted state dict per workload: Classification/evaluate.py:140-143,
+Object_Detection/qeval_convert.py:406-473, Style_Transfer/test.py:66-84):
+load an INT8 artifact written by ``--export_int8`` (or a trainer
+checkpoint / serialized program for classification), build the jitted
+frozen-INT8 apply, and serve batched predictions with honest latency
 reporting.
+
+``--workload`` selects the model family:
+  * ``cls`` (default) — classifier logits; top-k jsonl output.
+  * ``seg`` — per-pixel class maps; cityscapes-palette PNG output.
+  * ``det`` — SSD feat+head (artifact base path + ``_feat``/``_head``);
+    decode+NMS detections jsonl output.
+  * ``gan`` — pix2pix/cyclegan netG; generated-image PNG output.
 
 Timing notes (this matters on TPU):
   * per-request latency is measured WITH a host readback per batch — that is
@@ -14,8 +23,11 @@ Timing notes (this matters on TPU):
 
 Run: python -m frostnet_tpu.serve --model frostnet_quant_large_1_0 \
        --artifact model_int8.npz --source synthetic --iters 20
-     python -m frostnet_tpu.serve --model ... --checkpoint runs/cls/best \
-       --source folder --data_dir ./val_images --output preds.jsonl
+     python -m frostnet_tpu.serve --workload seg --model mobilenetv3_large \
+       --artifact seg_int8.npz --num_classes 19 --image_size 512
+     python -m frostnet_tpu.serve --workload det --model qssd --artifact det_int8
+     python -m frostnet_tpu.serve --workload gan --artifact netg_int8.npz \
+       --output fakes/
 """
 from __future__ import annotations
 
@@ -31,6 +43,8 @@ import numpy as np
 
 from .nn import QAT
 from .quant import freeze, load_int8
+
+_CLS_DEFAULT = "frostnet_quant_large_1_0"
 
 
 class Int8Predictor:
@@ -119,12 +133,156 @@ class Int8Predictor:
         return idx, np.take_along_axis(logits, idx, axis=-1)
 
 
+class FrozenPredictor:
+    """Frozen-INT8 serving wrapper for the non-classifier workloads.
+
+    Shares the dp-sharding behavior of :class:`Int8Predictor` (request
+    batches shard over chips, non-divisible batches degrade to the largest
+    divisor) but takes any prebuilt apply function, so one class covers the
+    seg map head, the det feat+head pair, and the GAN generator.
+    """
+
+    def __init__(self, apply_fn, dp: int = 1):
+        self._apply = apply_fn
+        self._dp_devices = jax.devices()[:dp] if dp > 1 else None
+        self._dp_meshes = {}
+
+    def __call__(self, images: np.ndarray):
+        x = jnp.asarray(images)
+        if self._dp_devices is not None:
+            from .parallel import make_dp_mesh, shard_batch
+
+            mesh = self._dp_meshes.get(len(x))
+            if mesh is None:
+                mesh = self._dp_meshes.setdefault(
+                    len(x), make_dp_mesh(len(x), devices=self._dp_devices))
+            x = shard_batch({"image": x}, mesh)["image"]
+        return self._apply(x)
+
+
+def _variables_from(args):
+    """Load the exported INT8 variables tree for a non-cls workload."""
+    if not args.artifact:
+        raise SystemExit(
+            f"--workload {args.workload} serves --export_int8 artifacts; "
+            "pass --artifact (see the workload evaluator CLIs)")
+    return load_int8(args.artifact)
+
+
+def _build_seg(args):
+    """MBv3/MBv2/ESPNet seg serving: frozen INT8 class maps + palette PNGs
+    (the flow Semantic_Segmentation/latency_check.py:222 times and
+    evaluate.py renders)."""
+    from .segmentation.models import get_seg_model
+
+    name = args.model if args.model != _CLS_DEFAULT else "mobilenetv3_large"
+    model = get_seg_model(name, num_classes=args.num_classes,
+                          dtype=jnp.bfloat16)
+    apply_fn = freeze(model, _variables_from(args))
+    width = args.image_width or 2 * args.image_size  # cityscapes 2:1 default
+    shape = (args.batch_size, args.image_size, width, 3)
+
+    def postprocess(outdir, x, out, start):
+        from PIL import Image
+
+        from .segmentation.evaluate import colorize
+
+        os.makedirs(outdir, exist_ok=True)
+        pred = np.asarray(jnp.argmax(out, axis=-1)).astype(np.uint8)
+        for i in range(len(pred)):
+            Image.fromarray(colorize(pred[i])).save(
+                os.path.join(outdir, f"pred_{start + i:05d}.png"))
+    return apply_fn, shape, postprocess
+
+
+def _build_det(args):
+    """SSD/TDSOD serving: frozen INT8 feat -> float head -> decode+NMS
+    (qeval_convert.py:406-473's converted test path, as one server)."""
+    from .detection.anchors import make_priors
+    from .detection.models import build_ssd
+    from .detection.nms import detect
+    from .detection.tdsod import build_tdsod
+    from .detection.train import select_config
+    from .nn import INT8
+
+    net_type = args.model if args.model in ("qssd", "qtdsod") else "qssd"
+    det_cfg = select_config(net_type, "voc")
+    priors = jnp.asarray(make_priors(det_cfg))
+    num_classes = (args.num_classes if args.num_classes != 1000
+                   else det_cfg["num_classes"])
+    build = build_tdsod if net_type == "qtdsod" else build_ssd
+    feat, head = build(num_classes=num_classes)
+    if not args.artifact:
+        raise SystemExit("--workload det needs --artifact BASE "
+                         "(loads BASE_feat.npz + BASE_head.npz, as written "
+                         "by qeval --export_int8)")
+    base = args.artifact[:-4] if args.artifact.endswith(".npz") else args.artifact
+    feat_vars = load_int8(base + "_feat.npz")
+    head_vars = load_int8(base + "_head.npz")
+
+    @jax.jit
+    def apply_fn(x):
+        srcs = feat.apply(feat_vars, x, mode=INT8)
+        return head.apply(head_vars, srcs)
+    shape = (args.batch_size, args.image_size, args.image_size, 3)
+
+    def postprocess(outpath, x, out, start):
+        loc, conf = out
+        dets = np.asarray(detect(loc, jax.nn.softmax(conf, axis=-1), priors,
+                                 conf_thresh=0.25, top_k=50))
+        with open(outpath, "a") as f:
+            for b in range(len(dets)):
+                hits = []
+                for c in range(1, dets.shape[1]):
+                    for s, x1, y1, x2, y2 in dets[b, c]:
+                        if s > 0:
+                            hits.append({"class": int(c), "score": round(float(s), 4),
+                                         "box": [round(float(v), 4)
+                                                 for v in (x1, y1, x2, y2)]})
+                f.write(json.dumps({"image": start + b, "detections": hits}) + "\n")
+    return apply_fn, shape, postprocess
+
+
+def _build_gan(args):
+    """netG serving: frozen INT8 generator + PNG gallery writes (the
+    Style_Transfer/test.py:66-84 converted-inference flow)."""
+    from .gan.networks import define_g
+
+    net_g = args.model if args.model.startswith("resnet_") else "resnet_9blocks"
+    model = define_g(ngf=args.ngf, netG=net_g, quantized=True)
+    apply_fn = freeze(model, _variables_from(args))
+    shape = (args.batch_size, args.image_size, args.image_size, 3)
+
+    def postprocess(outdir, x, out, start):
+        from PIL import Image
+
+        from .gan.visualizer import tensor2im
+
+        os.makedirs(outdir, exist_ok=True)
+        fake = np.asarray(out)
+        for i in range(len(fake)):
+            Image.fromarray(tensor2im(fake[i])).save(
+                os.path.join(outdir, f"fake_{start + i:05d}.png"))
+    return apply_fn, shape, postprocess
+
+
+_WORKLOAD_BUILDERS = {"seg": _build_seg, "det": _build_det, "gan": _build_gan}
+
+
+def _tree_scalar(out) -> jnp.ndarray:
+    """Collapse any output pytree to one f32 scalar (forces full compute
+    when chaining batches on device)."""
+    leaves = jax.tree.leaves(out)
+    return sum(x.astype(jnp.float32).sum() for x in leaves)
+
+
 def _batches(args) -> Iterator[np.ndarray]:
     if args.source == "synthetic":
         rng = np.random.RandomState(0)
+        shape = getattr(args, "_input_shape",
+                        (args.batch_size, args.image_size, args.image_size, 3))
         while True:
-            yield rng.randn(args.batch_size, args.image_size,
-                            args.image_size, 3).astype(np.float32), None
+            yield rng.randn(*shape).astype(np.float32), None
     else:
         from .data import FolderClassification
 
@@ -135,24 +293,34 @@ def _batches(args) -> Iterator[np.ndarray]:
 
 
 def main(args):
-    pred = Int8Predictor(args.model, num_classes=args.num_classes,
-                         artifact=args.artifact, checkpoint=args.checkpoint,
-                         program=args.program, image_size=args.image_size,
-                         dp=args.dp)
-    if args.export_program:
-        size = pred.export_program(args.export_program)
-        print(f"[serve] serving program -> {args.export_program} "
-              f"({size / 1e6:.2f} MB)")
+    postprocess = None
+    if args.workload == "cls":
+        pred = Int8Predictor(args.model, num_classes=args.num_classes,
+                             artifact=args.artifact, checkpoint=args.checkpoint,
+                             program=args.program, image_size=args.image_size,
+                             dp=args.dp)
+        if args.export_program:
+            size = pred.export_program(args.export_program)
+            print(f"[serve] serving program -> {args.export_program} "
+                  f"({size / 1e6:.2f} MB)")
+    else:
+        if args.program or args.export_program or args.checkpoint:
+            raise SystemExit("--program/--export_program/--checkpoint are "
+                             "classification-only; other workloads serve "
+                             "--export_int8 artifacts")
+        apply_fn, shape, postprocess = _WORKLOAD_BUILDERS[args.workload](args)
+        args._input_shape = shape
+        pred = FrozenPredictor(apply_fn, dp=args.dp)
     gen = _batches(args)
     first, _ = next(gen)
-    np.asarray(pred(first))  # compile
+    jax.device_get(pred(first))  # compile
 
     # per-request latency: readback every batch (the server-visible number)
     lat = []
     for i in range(args.iters):
         x, _ = next(gen)
         t0 = time.perf_counter()
-        np.asarray(pred(x))
+        jax.device_get(pred(x))
         lat.append(time.perf_counter() - t0)
     lat_ms = np.sort(np.asarray(lat)) * 1000
 
@@ -161,11 +329,12 @@ def main(args):
     acc = jnp.float32(0)
     for i in range(args.iters):
         x, _ = next(gen)
-        acc = pred(x + acc * 0).astype(jnp.float32).sum() * 1e-30
+        acc = _tree_scalar(pred(x + acc * 0)) * 1e-30
     float(acc)
     pipeline_ips = args.batch_size * args.iters / (time.perf_counter() - t0)
 
     report = {
+        "workload": args.workload,
         "model": f"program:{args.program}" if args.program else args.model,
         "batch_size": args.batch_size,
         "iters": args.iters,
@@ -178,7 +347,7 @@ def main(args):
     }
     print(json.dumps(report, indent=2))
 
-    if args.output:
+    if args.output and args.workload == "cls":
         with open(args.output, "w") as f:
             for i in range(args.predict_batches):
                 x, labels = next(gen)
@@ -190,6 +359,11 @@ def main(args):
                         rec["label"] = int(labels[b])
                     f.write(json.dumps(rec) + "\n")
         print(f"[serve] predictions -> {args.output}")
+    elif args.output:
+        for i in range(args.predict_batches):
+            x, _ = next(gen)
+            postprocess(args.output, x, pred(x), i * args.batch_size)
+        print(f"[serve] predictions -> {args.output}")
     return report
 
 
@@ -198,7 +372,11 @@ def cli():
 
     pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default="frostnet_quant_large_1_0")
+    p.add_argument("--workload", choices=("cls", "seg", "det", "gan"),
+                   default="cls")
+    p.add_argument("--model", default=_CLS_DEFAULT,
+                   help="cls: classifier registry name; seg: seg model name; "
+                        "det: qssd|qtdsod; gan: resnet_9blocks|resnet_6blocks")
     p.add_argument("--artifact", default=None, help="export_int8 .npz")
     p.add_argument("--checkpoint", default=None, help="trainer checkpoint dir")
     p.add_argument("--program", default=None,
@@ -206,8 +384,13 @@ def cli():
                         "(quant.export_serving); runs without model code")
     p.add_argument("--export_program", default=None,
                    help="also write the serialized serving program here")
-    p.add_argument("--num_classes", type=int, default=1000)
-    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--num_classes", type=int, default=1000,
+                   help="seg: 19 cityscapes; det: defaults from the net config")
+    p.add_argument("--image_size", type=int, default=224,
+                   help="seg: the image HEIGHT (width defaults to 2x)")
+    p.add_argument("--image_width", type=int, default=None,
+                   help="seg only: override the 2:1 cityscapes aspect")
+    p.add_argument("--ngf", type=int, default=64, help="gan generator width")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dp", type=int, default=1,
                    help="shard each request batch over this many chips")

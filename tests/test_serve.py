@@ -54,6 +54,103 @@ def test_predictor_from_artifact_matches_int8_mode(tmp_path, monkeypatch):
     np.testing.assert_array_equal(idx[:, 0], want.argmax(-1))
 
 
+def _serve_args(**kw):
+    """An argparse-equivalent namespace with serve.cli's defaults."""
+    import argparse
+
+    base = dict(workload="cls", model="frostnet_quant_large_1_0",
+                artifact=None, checkpoint=None, program=None,
+                export_program=None, num_classes=1000, image_size=224,
+                image_width=None, ngf=64, batch_size=2, dp=1, iters=2,
+                source="synthetic", data_dir=None, output=None,
+                predict_batches=1, topk=5)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_serve_workload_seg(tmp_path):
+    """serve --workload seg: frozen INT8 class maps + palette PNG output."""
+    from frostnet_tpu.segmentation.models import get_seg_model
+    from frostnet_tpu.serve import main
+
+    model = get_seg_model("mobilenetv3_large", num_classes=4)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = jax.jit(lambda k, i: model.init(k, i, mode=QAT, train=True))(
+        jax.random.PRNGKey(0), x)
+    art = str(tmp_path / "seg.npz")
+    export_int8(variables, art)
+
+    outdir = str(tmp_path / "preds")
+    report = main(_serve_args(workload="seg", model="mobilenetv3_large",
+                              artifact=art, num_classes=4, image_size=64,
+                              batch_size=1, output=outdir))
+    assert report["workload"] == "seg"
+    assert report["pipeline_images_per_sec"] > 0
+    pngs = sorted(os.listdir(outdir))
+    assert pngs == ["pred_00000.png"]
+    from PIL import Image
+
+    im = np.asarray(Image.open(os.path.join(outdir, pngs[0])))
+    assert im.shape == (64, 128, 3)  # colorized palette output
+
+
+def test_serve_workload_gan(tmp_path):
+    """serve --workload gan: frozen INT8 netG + generated PNG output."""
+    from frostnet_tpu.gan.networks import define_g
+    from frostnet_tpu.serve import main
+
+    model = define_g(ngf=8, netG="resnet_6blocks", quantized=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda k, i: model.init(k, i, mode=QAT, train=True))(
+        jax.random.PRNGKey(0), x)
+    art = str(tmp_path / "netg.npz")
+    export_int8(variables, art)
+
+    outdir = str(tmp_path / "fakes")
+    report = main(_serve_args(workload="gan", model="resnet_6blocks",
+                              artifact=art, ngf=8, image_size=64,
+                              batch_size=1, output=outdir))
+    assert report["workload"] == "gan"
+    assert sorted(os.listdir(outdir)) == ["fake_00000.png"]
+
+
+def test_serve_workload_det(tmp_path):
+    """serve --workload det: feat+head artifacts -> detections jsonl."""
+    from frostnet_tpu.detection.models import build_ssd
+    from frostnet_tpu.nn import QAT_FROZEN
+    from frostnet_tpu.serve import main
+
+    feat, head = build_ssd(num_classes=21)
+    x = jnp.zeros((1, 300, 300, 3), jnp.float32)
+    k = jax.random.PRNGKey(0)
+    feat_vars = jax.jit(lambda kk, i: feat.init(kk, i, mode=QAT, train=True))(k, x)
+    sources = jax.eval_shape(lambda v, i: feat.apply(v, i, mode=QAT_FROZEN),
+                             feat_vars, x)
+    head_vars = jax.jit(head.init)(k, jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), sources))
+    base = str(tmp_path / "det")
+    export_int8(feat_vars, base + "_feat.npz")
+    export_int8(head_vars, base + "_head.npz")
+
+    out = str(tmp_path / "dets.jsonl")
+    report = main(_serve_args(workload="det", model="qssd", artifact=base,
+                              image_size=300, batch_size=1, iters=1,
+                              output=out))
+    assert report["workload"] == "det"
+    recs = [json.loads(line) for line in open(out)]
+    assert len(recs) == 1 and "detections" in recs[0]
+
+
+def test_serve_workload_rejects_cls_only_flags(tmp_path):
+    from frostnet_tpu.serve import main
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(_serve_args(workload="seg", program="x.bin"))
+    with pytest.raises(SystemExit):
+        main(_serve_args(workload="gan"))  # no artifact
+
+
 def test_predictor_from_checkpoint(tmp_path, monkeypatch):
     model, state, batch = _trained_state(tmp_path)
     ckpt = str(tmp_path / "ckpt")
