@@ -94,3 +94,55 @@ def test_pix2pix_dp_steps_run_sharded():
         assert np.isfinite(float(v))
     leaf = jax.tree.leaves(g_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_cyclegan_dp_steps_run_sharded():
+    """dp CycleGAN: the JOINT optimizer over two generator param trees
+    (cycle_gan_model.py:94-95) plus both D updates, sharded over the mesh.
+
+    The joint opt state is a pytree over a TUPLE of param trees — the one
+    optimizer topology no other trainer exercises; replicate() + pjit must
+    keep its update psum'd and the resulting params replicated.
+    """
+    from frostnet_tpu.gan.models import make_cyclegan_steps, make_net_state
+    from frostnet_tpu.gan.networks import define_d, define_g
+    from frostnet_tpu.optim import adam, qadam
+
+    mesh = make_mesh()
+    bs, size = 8, 32
+    tx_g = qadam(2e-4, b1=0.5)  # joint over both generators
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((bs, size, size, 3))
+    nets_g = [define_g(ngf=8, netG="resnet_6blocks", quantized=True)
+              for _ in range(2)]
+    nets_d = [define_d(ndf=8, netD="basic") for _ in range(2)]
+    gA, gB = (make_net_state(n, tx_g, rng, sample,
+                             init_kwargs={"mode": QAT, "train": True})
+              for n in nets_g)
+    dA, dB = (make_net_state(n, adam(2e-4, b1=0.5), rng, sample,
+                             init_kwargs={"train": True}) for n in nets_d)
+    joint_opt_state = tx_g.init((gA.params, gB.params))
+
+    gA, gB, dA, dB, joint_opt_state = (
+        replicate(s, mesh) for s in (gA, gB, dA, dB, joint_opt_state))
+    rngnp = np.random.RandomState(0)
+    batch = shard_batch(
+        {"A": rngnp.randn(bs, size, size, 3).astype(np.float32),
+         "B": rngnp.randn(bs, size, size, 3).astype(np.float32)}, mesh)
+    assert batch["A"].sharding.num_devices == 8
+
+    g_step, d_step = make_cyclegan_steps(*nets_g, *nets_d, QAT, "lsgan")
+    with mesh:
+        gA, gB, joint_opt_state, fake_a, fake_b, mg = g_step(
+            gA, gB, dA, dB, batch, joint_opt_state)
+        # pool-provided fakes stay device-sharded; Ds train against them
+        dA, loss_da = d_step(dA, batch["B"], fake_b)
+        dB, loss_db = d_step(dB, batch["A"], fake_a)
+    for v in (loss_da, loss_db, *mg.values()):
+        assert np.isfinite(float(v))
+    # the joint update left BOTH generators' params fully replicated
+    for st in (gA, gB):
+        leaf = jax.tree.leaves(st.params)[0]
+        assert leaf.sharding.is_fully_replicated
+    leaf = jax.tree.leaves(joint_opt_state)[0]
+    assert leaf.sharding.is_fully_replicated
