@@ -25,11 +25,15 @@ from .state import create_train_state
 from ..optim import get_optimizer
 
 
-def time_mode(model, variables, x, mode, iters=100, warmup=3):
+def time_mode(model, variables, x, mode, iters=100, warmup=3, reps=1):
     # honest timing: chain iterations through a scalar that feeds the next
     # input and read back once — on this host's transport block_until_ready
     # returns before execution finishes (see CLAUDE.md), and a per-iteration
-    # readback would add the ~30 ms tunnel round trip to every batch
+    # readback would add the ~30 ms tunnel round trip to every batch.
+    # With reps > 1 returns (median_ms, spread_ms) over reps repetitions so
+    # callers can report run-to-run jitter (the bs1 table's ±1 ms swings).
+    import statistics
+
     import jax.numpy as jnp
 
     fn = jax.jit(lambda v, i, a: model.apply(v, i + a * 0, mode=mode)
@@ -38,12 +42,17 @@ def time_mode(model, variables, x, mode, iters=100, warmup=3):
     for _ in range(warmup):
         acc = fn(variables, x, acc)
     float(acc)
-    t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for _ in range(iters):
-        acc = fn(variables, x, acc)
-    float(acc)
-    return (time.perf_counter() - t0) / iters * 1000.0  # ms/batch
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for _ in range(iters):
+            acc = fn(variables, x, acc)
+        float(acc)
+        samples.append((time.perf_counter() - t0) / iters * 1000.0)
+    if reps == 1:
+        return samples[0]  # ms/batch (backwards-compatible)
+    return statistics.median(samples), max(samples) - min(samples)
 
 
 def main(args):
@@ -65,9 +74,15 @@ def main(args):
                                init_kwargs={"mode": QAT, "train": True})
     variables = state.model_variables
 
-    fp_ms = time_mode(model, variables, x, FP32, args.iters)
-    qat_ms = time_mode(model, variables, x, QAT_FROZEN, args.iters)
-    int8_ms = time_mode(model, variables, x, INT8, args.iters)
+    reps = getattr(args, "reps", 1)
+    fp = time_mode(model, variables, x, FP32, args.iters, reps=reps)
+    qat = time_mode(model, variables, x, QAT_FROZEN, args.iters, reps=reps)
+    int8 = time_mode(model, variables, x, INT8, args.iters, reps=reps)
+    if reps > 1:
+        (fp_ms, fp_sp), (qat_ms, qat_sp), (int8_ms, int8_sp) = fp, qat, int8
+    else:
+        fp_ms, qat_ms, int8_ms = fp, qat, int8
+        fp_sp = qat_sp = int8_sp = 0.0
     rate = (int8_ms - fp_ms) / fp_ms * 100.0
     size_int8 = int8_model_size_bytes(model, state) / 1e6
     size_fp = sum(v.size * 4 for v in jax.tree.leaves(state.params)) / 1e6
@@ -77,7 +92,8 @@ def main(args):
     logger.info(f"QAT sim:   {qat_ms:8.2f} ms/batch")
     logger.info(f"INT8:      {int8_ms:8.2f} ms/batch   size {size_int8:.2f} MB  "
                 f"rate {rate:+.2f}%")
-    return {"fp_ms": fp_ms, "qat_ms": qat_ms, "int8_ms": int8_ms, "rate": rate}
+    return {"fp_ms": fp_ms, "qat_ms": qat_ms, "int8_ms": int8_ms, "rate": rate,
+            "fp_spread": fp_sp, "qat_spread": qat_sp, "int8_spread": int8_sp}
 
 
 def cli():

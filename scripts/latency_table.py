@@ -40,6 +40,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--reps", type=int, default=1,
+                   help="repetitions per mode; >1 reports median ± spread")
     p.add_argument("--models", default=None, help="comma list override")
     args = p.parse_args()
 
@@ -49,17 +51,24 @@ def main():
     for name in (args.models.split(",") if args.models else MODELS):
         ns = argparse.Namespace(model=name, backend="fbgemm", num_classes=1000,
                                 image_size=224, batch_size=args.batch,
-                                iters=args.iters, seg=False)
+                                iters=args.iters, reps=args.reps, seg=False)
         try:
             r = latency_check.main(ns)
-            rows.append((name, r["fp_ms"], r["qat_ms"], r["int8_ms"], r["rate"]))
+            rows.append((name, r))
         except Exception as e:  # noqa: BLE001 — keep the sweep going
             print(f"| {name} | ERROR {type(e).__name__}: {e} |", flush=True)
 
-    print("\n| model | FP32 ms | QAT ms | INT8 ms | INT8 vs FP32 |")
+    def cell(r, k):
+        ms, sp = r[f"{k}_ms"], r.get(f"{k}_spread", 0.0)
+        return f"{ms:.2f} ± {sp/2:.2f}" if args.reps > 1 else f"{ms:.2f}"
+
+    print(f"\nbatch={args.batch} iters={args.iters} reps={args.reps} "
+          "(median ± half-spread, chained timing)")
+    print("| model | FP32 ms | QAT ms | INT8 ms | INT8 vs FP32 |")
     print("|---|---|---|---|---|")
-    for name, fp, qat, i8, rate in rows:
-        print(f"| {name} | {fp:.2f} | {qat:.2f} | {i8:.2f} | {rate:+.1f}% |")
+    for name, r in rows:
+        print(f"| {name} | {cell(r, 'fp')} | {cell(r, 'qat')} | "
+              f"{cell(r, 'int8')} | {r['rate']:+.1f}% |")
 
 
 if __name__ == "__main__":
