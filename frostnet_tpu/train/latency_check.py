@@ -106,6 +106,8 @@ def cli():
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--reps", type=int, default=1,
+                   help=">1 reports median over reps with run-to-run spread")
     p.add_argument("--seg", action="store_true",
                    help="treat --model as a segmentation model name")
     main(p.parse_args())
