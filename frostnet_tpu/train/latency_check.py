@@ -25,29 +25,45 @@ from .state import create_train_state
 from ..optim import get_optimizer
 
 
-def time_mode(model, variables, x, mode, iters=100, warmup=3, reps=1):
+def time_mode(model, variables, x, mode, iters=100, warmup=3, reps=1,
+              frozen=False):
     # honest timing: chain iterations through a scalar that feeds the next
     # input and read back once — on this host's transport block_until_ready
     # returns before execution finishes (see CLAUDE.md), and a per-iteration
     # readback would add the ~30 ms tunnel round trip to every batch.
     # With reps > 1 returns (median_ms, spread_ms) over reps repetitions so
     # callers can report run-to-run jitter (the bs1 table's ±1 ms swings).
+    #
+    # frozen=True closes the jit over the variables (quant/freeze.py
+    # semantics — the torch.quantization.convert equivalent): XLA
+    # constant-folds BN-fold + weight quantization + tap sums into the
+    # executable, like a converted qnnpack graph. This is what INT8
+    # deployment runs (serve.py uses freeze()); timing INT8 with variables
+    # as jit ARGUMENTS instead re-does the whole convert per call AND blocks
+    # constant folding — measured r4 at bs32 it made frostnet INT8 look
+    # 4x slower than its frozen (real) latency.
     import statistics
 
     import jax.numpy as jnp
 
-    fn = jax.jit(lambda v, i, a: model.apply(v, i + a * 0, mode=mode)
-                 .astype(jnp.float32).sum() * 1e-30)
+    if frozen:
+        jfn = jax.jit(lambda i, a: model.apply(variables, i + a * 0, mode=mode)
+                      .astype(jnp.float32).sum() * 1e-30)
+        fn = lambda a: jfn(x, a)  # noqa: E731
+    else:
+        jfn = jax.jit(lambda v, i, a: model.apply(v, i + a * 0, mode=mode)
+                      .astype(jnp.float32).sum() * 1e-30)
+        fn = lambda a: jfn(variables, x, a)  # noqa: E731
     acc = jnp.float32(0)
     for _ in range(warmup):
-        acc = fn(variables, x, acc)
+        acc = fn(acc)
     float(acc)
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
         acc = jnp.float32(0)
         for _ in range(iters):
-            acc = fn(variables, x, acc)
+            acc = fn(acc)
         float(acc)
         samples.append((time.perf_counter() - t0) / iters * 1000.0)
     if reps == 1:
@@ -77,7 +93,11 @@ def main(args):
     reps = getattr(args, "reps", 1)
     fp = time_mode(model, variables, x, FP32, args.iters, reps=reps)
     qat = time_mode(model, variables, x, QAT_FROZEN, args.iters, reps=reps)
-    int8 = time_mode(model, variables, x, INT8, args.iters, reps=reps)
+    # INT8 is timed CONVERTED (frozen jit closure), matching the reference's
+    # latency_val which times the converted qnnpack model, and serve.py's
+    # deployment path (quant/freeze.py).
+    int8 = time_mode(model, variables, x, INT8, args.iters, reps=reps,
+                     frozen=True)
     if reps > 1:
         (fp_ms, fp_sp), (qat_ms, qat_sp), (int8_ms, int8_sp) = fp, qat, int8
     else:
