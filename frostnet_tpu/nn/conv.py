@@ -49,6 +49,25 @@ from .quant_ops import apply_observer
 
 kaiming_normal_fan_out = fnn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
+# Fused Pallas path for dense 3x3/s1 INT8 convs (ops/pallas_int8_conv):
+# bit-exact vs the XLA composition but measured SLOWER whole-net on v5e
+# (GAN INT8 16.0 -> 18.4 ms/batch, 0.87x — see ops/pallas_int8_conv.py), so
+# the default (None = auto) is currently OFF everywhere. Force with
+# set_pallas_int8_dense(True/False) — forced-on off-TPU runs the kernel in
+# interpret mode (exactness tests).
+_PALLAS_INT8_DENSE: Optional[bool] = None
+
+
+def set_pallas_int8_dense(enabled: Optional[bool]) -> None:
+    global _PALLAS_INT8_DENSE
+    _PALLAS_INT8_DENSE = enabled
+
+
+def _pallas_int8_dense_on() -> bool:
+    if _PALLAS_INT8_DENSE is None:
+        return False
+    return _PALLAS_INT8_DENSE
+
 
 def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
@@ -256,6 +275,28 @@ class QConvBNAct(fnn.Module):
                             sl = jnp.repeat(sl, mult, axis=3)
                         acc = acc + tap * sl
             else:
+                # Dense k>1: prefer the fused Pallas kernel (conv + requant
+                # epilogue in VMEM, HBM sees int8 in / uint8 out) when the
+                # shape fits; the s32 lax.conv epilogue cannot fuse on TPU
+                # (measured: GAN resnet convs round-trip the s32 accumulator,
+                # scripts/profile_gan_int8.py).
+                from ..ops import pallas_int8_conv as _pic
+                th = (_pic.usable(kh, kw, strides, dilation, self.groups,
+                                  self.act, x8p.shape, self.features)
+                      if _pallas_int8_dense_on()
+                      and aspec.storage_dtype == jnp.uint8 else None)
+                if th is not None:
+                    w_sum = jnp.sum(qw.astype(jnp.int32), axis=(0, 1, 2))
+                    w_scale_v = jnp.broadcast_to(
+                        jnp.asarray(w_scale, jnp.float32).reshape(-1),
+                        (self.features,))
+                    out_scale, out_zp = calculate_qparams(act_obs.value, aspec)
+                    q = _pic.conv3x3_s1_int8(
+                        x8p, qw, x.scale * w_scale_v, bf, zp_eff * w_sum,
+                        out_scale, out_zp, th=th, relu=(self.act == "relu"),
+                        qmin=int(aspec.qmin), qmax=int(aspec.qmax),
+                        interpret=jax.default_backend() != "tpu")
+                    return QTensor(q, out_scale, out_zp)
                 acc = jax.lax.conv_general_dilated(
                     x8p, qw, strides, ((0, 0), (0, 0)), rhs_dilation=dilation,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
