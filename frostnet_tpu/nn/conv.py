@@ -69,6 +69,19 @@ def _pallas_int8_dense_on() -> bool:
     return _PALLAS_INT8_DENSE
 
 
+# Space-to-depth route for lane-starved FLOAT convs (ops/s2d_conv): re-blocks
+# stride-1 small-Cout convs (GAN FP tails, Cout<=8 after the plan() gate) so
+# the MXU's 128 output lanes aren't ~97% padding. Equal to lax.conv up to f32
+# reassociation (bit-equal on integer data — tests/test_s2d_conv.py), so it
+# never touches the bit-stable INT8 integer path. Toggle for whole-net A/Bs.
+_S2D_FLOAT_CONV: bool = True
+
+
+def set_s2d_float_conv(enabled: bool) -> None:
+    global _S2D_FLOAT_CONV
+    _S2D_FLOAT_CONV = enabled
+
+
 def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
@@ -122,20 +135,73 @@ class QConvBNAct(fnn.Module):
     bn_scale_init: Any = fnn.initializers.ones_init()
 
     def _conv(self, x, w, strides, padding, dilation):
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            w.astype(self.dtype),
-            window_strides=strides,
-            padding=padding,
-            rhs_dilation=dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            precision=self.precision,
-        )
+        y = self._conv_s2d(x, w, strides, padding, dilation)
+        if y is None:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                window_strides=strides,
+                padding=padding,
+                rhs_dilation=dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                precision=self.precision,
+            )
         # named for selective rematerialization: remat='conv_outs' saves
         # these and recomputes only the elementwise BN/act/fake-quant chains
         # in the backward (train/state.make_train_step)
         return checkpoint_name(y, "conv_out")
+
+    def _conv_s2d(self, x, w, strides, padding, dilation):
+        """Space-to-depth route for lane-starved float convs (GAN tails).
+
+        A stride-1 kxk conv with tiny Cout runs the MXU nearly empty
+        (Cout of 128 output lanes) — measured 4.6 ms/step on the pix2pix
+        7x7 64->3 tail alone, 29% of the INT8 forward. ops/s2d_conv
+        re-blocks it into a kb x kb conv over b^2*Cin -> b^2*Cout channels
+        (equal up to f32 reassociation; ~5x faster modeled). Returns None
+        when the shape doesn't fit, and the caller keeps the native conv.
+        """
+        if not _S2D_FLOAT_CONV:
+            return None
+        if strides != (1, 1) or dilation != (1, 1) or self.groups != 1:
+            return None
+        if isinstance(padding, str):
+            return None
+        kh, kw = w.shape[0], w.shape[1]
+        if kh != kw:
+            return None
+        from ..ops import s2d_conv as _s2d
+
+        (ph, ph_r), (pw, pw_r) = padding
+        if ph != ph_r or pw != pw_r:  # the canvas math assumes symmetry
+            return None
+        bsz = 4
+        _, h, w_sp, _ = x.shape
+        k = kh
+        half = k // 2
+        h_out = h + 2 * ph - k + 1
+        w_out = w_sp + 2 * pw - k + 1
+        if h_out <= 0 or w_out <= 0:
+            return None
+
+        # Zero-pad the input into a b-divisible canvas, run the SAME-conv
+        # s2d form on it, and slice the window matching the requested
+        # padding: canvas[i] = x[i - p], so same-conv output index
+        # i = o + half recovers y[o] = sum_dy x[o - p + dy] w[dy].
+        er_h = (-(h + 2 * ph)) % bsz
+        er_w = (-(w_sp + 2 * pw)) % bsz
+        hc = h + 2 * ph + er_h
+        wc = w_sp + 2 * pw + er_w
+        if _s2d.plan(k, bsz, hc, wc, self.features) is None:
+            return None
+        pb = -(-half // bsz)
+        kb = 2 * pb + 1
+        xc = jnp.pad(x.astype(self.dtype),
+                     ((0, 0), (ph, ph + er_h), (pw, pw + er_w), (0, 0)))
+        yc = _s2d.conv_same_s2d(xc, w.astype(self.dtype), bsz, pb, kb,
+                                precision=self.precision)
+        return yc[:, half:half + h_out, half:half + w_out, :]
 
     @fnn.compact
     def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False,

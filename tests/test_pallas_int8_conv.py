@@ -40,14 +40,18 @@ def _calibrated_block(qconfig, act, key, cin=128, cout=128, hw=8, batch=2):
     return model, variables, xq
 
 
+@pytest.mark.parametrize("variant", ["resident", "preshift"])
 @pytest.mark.parametrize("backend", ["qnnpack", "fbgemm"])
 @pytest.mark.parametrize("act", [None, "relu"])
-def test_kernel_bit_identical_to_xla_path(backend, act):
+def test_kernel_bit_identical_to_xla_path(backend, act, variant, monkeypatch):
+    from frostnet_tpu.ops import pallas_int8_conv as pic
+
     qconfig = get_qconfig(backend)
     model, variables, xq = _calibrated_block(qconfig, act, key=7)
 
     set_pallas_int8_dense(False)
     ref = model.apply(variables, xq, mode=INT8)
+    monkeypatch.setattr(pic, "VARIANT", variant)
     set_pallas_int8_dense(True)  # off-TPU -> interpret mode
     got = model.apply(variables, xq, mode=INT8)
 
@@ -73,7 +77,8 @@ def test_shape_gate_rejects_unsupported():
     assert usable(3, 3, (1, 1), (1, 1), 1, "relu", (2, 10, 10, 128), 96) is None
 
 
-def test_h_tiling_matches_whole_image():
+@pytest.mark.parametrize("variant", ["resident", "preshift"])
+def test_h_tiling_matches_whole_image(variant, monkeypatch):
     """Force a tile split (th < H) and compare against the XLA path."""
     from frostnet_tpu.ops import pallas_int8_conv as pic
 
@@ -83,13 +88,11 @@ def test_h_tiling_matches_whole_image():
     set_pallas_int8_dense(False)
     ref = model.apply(variables, xq, mode=INT8)
 
-    orig = pic.pick_h_tile
-    try:
-        pic.pick_h_tile = lambda hp, wp, cin, cout: 4  # 4 tiles over H=16
-        set_pallas_int8_dense(True)
-        got = model.apply(variables, xq, mode=INT8)
-    finally:
-        pic.pick_h_tile = orig
+    monkeypatch.setattr(pic, "VARIANT", variant)
+    monkeypatch.setattr(pic, "pick_h_tile",
+                        lambda hp, wp, cin, cout, variant=None: 4)
+    set_pallas_int8_dense(True)
+    got = model.apply(variables, xq, mode=INT8)
     np.testing.assert_array_equal(np.asarray(ref.q), np.asarray(got.q))
 
 
