@@ -74,7 +74,11 @@ def pack_weights(w: jax.Array, block: int, pb: int, kb: int) -> jax.Array:
     a = np.arange(kb)[:, None, None]
     s = np.arange(block)[None, :, None]
     r = np.arange(block)[None, None, :]
-    idx = block * a + s + half - r  # in [0, k + 2*pad)
+    # raw idx can leave [0, k + 2*pad) by up to block-1 when block > half+1
+    # (e.g. k=5, b=4). Those taps are zeros by construction; clip them into
+    # the pad region (pad = block*pb >= block > the overshoot, so clipped
+    # indices always read explicit zero padding, never real weights).
+    idx = np.clip(block * a + s + half - r, 0, k + 2 * pad - 1)
     w2 = wp[idx][:, :, :, idx]  # (a, sy, ry, b_, sx, rx, cin, cout)
     w2 = w2.transpose(0, 3, 1, 4, 6, 2, 5, 7)  # (a, b_, sy, sx, ci, ry, rx, c)
     return w2.reshape(kb, kb, block * block * cin, block * block * cout)

@@ -118,19 +118,25 @@ class Int8Predictor:
         """(B, S, S, 3) float images -> (B, C) logits (device array)."""
         x = jnp.asarray(images)
         if self._dp_devices is not None:
-            from .parallel import make_dp_mesh, shard_batch
-
-            mesh = self._dp_meshes.get(len(x))
-            if mesh is None:
-                mesh = self._dp_meshes.setdefault(
-                    len(x), make_dp_mesh(len(x), devices=self._dp_devices))
-            x = shard_batch({"image": x}, mesh)["image"]
+            x = _shard_dp(x, self._dp_devices, self._dp_meshes)
         return self._apply(x)
 
     def predict_topk(self, images: np.ndarray, k: int = 5):
         logits = np.asarray(self(images))
         idx = np.argsort(-logits, axis=-1)[:, :k]
         return idx, np.take_along_axis(logits, idx, axis=-1)
+
+
+def _shard_dp(x: jnp.ndarray, devices, meshes: dict) -> jnp.ndarray:
+    """Shard one request batch over `devices`, caching meshes by batch size
+    (non-divisible batches degrade to the largest divisor — the
+    DataParallel small-batch scatter behavior)."""
+    from .parallel import make_dp_mesh, shard_batch
+
+    mesh = meshes.get(len(x))
+    if mesh is None:
+        mesh = meshes.setdefault(len(x), make_dp_mesh(len(x), devices=devices))
+    return shard_batch({"image": x}, mesh)["image"]
 
 
 class FrozenPredictor:
@@ -150,13 +156,7 @@ class FrozenPredictor:
     def __call__(self, images: np.ndarray):
         x = jnp.asarray(images)
         if self._dp_devices is not None:
-            from .parallel import make_dp_mesh, shard_batch
-
-            mesh = self._dp_meshes.get(len(x))
-            if mesh is None:
-                mesh = self._dp_meshes.setdefault(
-                    len(x), make_dp_mesh(len(x), devices=self._dp_devices))
-            x = shard_batch({"image": x}, mesh)["image"]
+            x = _shard_dp(x, self._dp_devices, self._dp_meshes)
         return self._apply(x)
 
 
@@ -205,8 +205,14 @@ def _build_det(args):
     from .detection.train import select_config
     from .nn import INT8
 
-    net_type = args.model if args.model in ("qssd", "qtdsod") else "qssd"
-    det_cfg = select_config(net_type, "voc")
+    if args.model == _CLS_DEFAULT:
+        net_type = "qssd"
+    elif args.model in ("qssd", "qtdsod"):
+        net_type = args.model
+    else:
+        raise SystemExit(f"--workload det serves qssd|qtdsod, got "
+                         f"--model {args.model!r}")
+    det_cfg = select_config(net_type, args.dataset)
     priors = jnp.asarray(make_priors(det_cfg))
     num_classes = (args.num_classes if args.num_classes != 1000
                    else det_cfg["num_classes"])
@@ -224,13 +230,21 @@ def _build_det(args):
     def apply_fn(x):
         srcs = feat.apply(feat_vars, x, mode=INT8)
         return head.apply(head_vars, srcs)
-    shape = (args.batch_size, args.image_size, args.image_size, 3)
+    # the SSD priors/heads are built for the config's input size (300) —
+    # an --image_size override would desync prior and box counts
+    size = args.image_size or det_cfg["min_dim"]
+    if size != det_cfg["min_dim"]:
+        raise SystemExit(f"--workload det runs at the net config's input "
+                         f"size {det_cfg['min_dim']}, got --image_size {size}")
+    args.image_size = size  # folder-source loaders read it back
+    shape = (args.batch_size, size, size, 3)
 
     def postprocess(outpath, x, out, start):
         loc, conf = out
         dets = np.asarray(detect(loc, jax.nn.softmax(conf, axis=-1), priors,
                                  conf_thresh=0.25, top_k=50))
-        with open(outpath, "a") as f:
+        # truncate on the first batch so re-runs don't accumulate records
+        with open(outpath, "w" if start == 0 else "a") as f:
             for b in range(len(dets)):
                 hits = []
                 for c in range(1, dets.shape[1]):
@@ -248,10 +262,13 @@ def _build_gan(args):
     Style_Transfer/test.py:66-84 converted-inference flow)."""
     from .gan.networks import define_g
 
-    net_g = args.model if args.model.startswith("resnet_") else "resnet_9blocks"
+    # substitute the default only when --model was left at the cls default;
+    # anything else goes to define_g verbatim so typos fail loudly there
+    net_g = "resnet_9blocks" if args.model == _CLS_DEFAULT else args.model
     model = define_g(ngf=args.ngf, netG=net_g, quantized=True)
     apply_fn = freeze(model, _variables_from(args))
-    shape = (args.batch_size, args.image_size, args.image_size, 3)
+    size = args.image_size or 256
+    shape = (args.batch_size, size, size, 3)
 
     def postprocess(outdir, x, out, start):
         from PIL import Image
@@ -293,6 +310,8 @@ def _batches(args) -> Iterator[np.ndarray]:
 
 
 def main(args):
+    if args.image_size is None and args.workload != "det":
+        args.image_size = {"cls": 224, "seg": 512, "gan": 256}[args.workload]
     postprocess = None
     if args.workload == "cls":
         pred = Int8Predictor(args.model, num_classes=args.num_classes,
@@ -367,10 +386,7 @@ def main(args):
     return report
 
 
-def cli():
-    from .utils.platform import pin_platform_from_env
-
-    pin_platform_from_env()
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workload", choices=("cls", "seg", "det", "gan"),
                    default="cls")
@@ -386,8 +402,13 @@ def cli():
                    help="also write the serialized serving program here")
     p.add_argument("--num_classes", type=int, default=1000,
                    help="seg: 19 cityscapes; det: defaults from the net config")
-    p.add_argument("--image_size", type=int, default=224,
-                   help="seg: the image HEIGHT (width defaults to 2x)")
+    p.add_argument("--dataset", choices=("voc", "coco"), default="voc",
+                   help="det only: anchor/class config the artifact was "
+                        "trained against")
+    p.add_argument("--image_size", type=int, default=None,
+                   help="input size; defaults per workload (cls 224, "
+                        "seg 512 [the image HEIGHT, width defaults to 2x], "
+                        "gan 256, det fixed by the net config)")
     p.add_argument("--image_width", type=int, default=None,
                    help="seg only: override the 2:1 cityscapes aspect")
     p.add_argument("--ngf", type=int, default=64, help="gan generator width")
@@ -401,7 +422,14 @@ def cli():
     p.add_argument("--output", default=None, help="write top-k jsonl here")
     p.add_argument("--predict_batches", type=int, default=4)
     p.add_argument("--topk", type=int, default=5)
-    main(p.parse_args())
+    return p
+
+
+def cli():
+    from .utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
+    main(build_parser().parse_args())
 
 
 if __name__ == "__main__":

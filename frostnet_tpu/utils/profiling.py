@@ -108,6 +108,37 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def load_device_trace(logdir: str):
+    """Load the newest perfetto trace under ``logdir`` written by
+    :func:`trace` and index its metadata.
+
+    Returns ``(events, proc, threads)``: the raw traceEvents list, a
+    ``pid -> process name`` map, and a ``(pid, tid) -> thread name`` map —
+    the shared plumbing for trace summarizers
+    (scripts/profile_train_step.py, scripts/profile_gan_int8.py).
+    Returns ``None`` if no trace file exists.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not paths:
+        return None
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    proc: Dict = {}
+    threads: Dict = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            threads[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    return events, proc, threads
+
+
 def device_memory_stats() -> Dict[str, Dict]:
     out = {}
     for d in jax.devices():

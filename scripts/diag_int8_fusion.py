@@ -123,10 +123,7 @@ def main():
     report("B dot1x1 s32+f32epi", dot1x1, xq)
     report("C dw3x3 zp-pad s32", dw3x3, xq)
     report("D dw3x3 bf16", dw3x3_f32, xq)
-
-
-if __name__ == "__main__":
-    main()
+    extra(args)
 
 
 def extra(args):
@@ -198,4 +195,4 @@ def extra(args):
 
 
 if __name__ == "__main__":
-    pass
+    main()

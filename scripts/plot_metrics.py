@@ -161,7 +161,12 @@ def main(argv=None):
                    help="comma-separated metric subset (default: all)")
     args = p.parse_args(argv)
 
-    runs = {_run_label(r): load_metrics(r) for r in args.runs}
+    runs = {}
+    for r in args.runs:
+        label = _run_label(r)
+        if label in runs:  # same basename from different dirs: disambiguate
+            label = r.rstrip("/")
+        runs[label] = load_metrics(r)
     if args.keys:
         keep = set(args.keys.split(","))
         runs = {r: {k: v for k, v in s.items() if k in keep}

@@ -10,9 +10,6 @@ category and source line, from a hardware-measured trace.
 
 Run serially (ONE TPU user): python scripts/profile_gan_int8.py
 """
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -55,20 +52,13 @@ def build_int8_forward():
 
 
 def summarize(logdir):
-    paths = sorted(glob.glob(os.path.join(
-        logdir, "plugins", "profile", "*", "*.trace.json.gz")))
-    if not paths:
+    from frostnet_tpu.utils.profiling import load_device_trace
+
+    loaded = load_device_trace(logdir)
+    if loaded is None:
         print("no trace found under", logdir)
         return
-    with gzip.open(paths[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    proc, threads = {}, {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            proc[e["pid"]] = e["args"].get("name", "")
-        if e.get("ph") == "M" and e.get("name") == "thread_name":
-            threads[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    events, proc, threads = loaded
     dev_pids = {p for p, n in proc.items() if "TPU" in n}
     by_cat = defaultdict(float)
     by_src = defaultdict(float)

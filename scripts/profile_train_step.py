@@ -12,7 +12,6 @@ Run serially (ONE TPU user at a time): python scripts/profile_train_step.py
 Outputs: runs/profile_r04/ (trace) and a printed summary for PARITY.md.
 """
 import glob
-import gzip
 import json
 import os
 import sys
@@ -56,22 +55,13 @@ def build_step():
 
 def summarize_trace(logdir):
     """Parse the perfetto trace.json.gz: device-track op durations."""
-    paths = sorted(glob.glob(os.path.join(
-        logdir, "plugins", "profile", "*", "*.trace.json.gz")))
-    if not paths:
+    from frostnet_tpu.utils.profiling import load_device_trace
+
+    loaded = load_device_trace(logdir)
+    if loaded is None:
         print("no trace.json.gz found under", logdir)
         return None
-    with gzip.open(paths[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # map pid/tid -> names to find device compute tracks
-    proc = {}
-    threads = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            proc[e["pid"]] = e["args"].get("name", "")
-        if e.get("ph") == "M" and e.get("name") == "thread_name":
-            threads[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    events, proc, threads = loaded
     device_pids = [p for p, n in proc.items()
                    if "TPU" in n or "/device" in n.lower()]
     print("processes:", {p: n for p, n in proc.items()})

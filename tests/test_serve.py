@@ -55,17 +55,15 @@ def test_predictor_from_artifact_matches_int8_mode(tmp_path, monkeypatch):
 
 
 def _serve_args(**kw):
-    """An argparse-equivalent namespace with serve.cli's defaults."""
-    import argparse
+    """serve.cli's real defaults (from its parser), with test overrides."""
+    from frostnet_tpu.serve import build_parser
 
-    base = dict(workload="cls", model="frostnet_quant_large_1_0",
-                artifact=None, checkpoint=None, program=None,
-                export_program=None, num_classes=1000, image_size=224,
-                image_width=None, ngf=64, batch_size=2, dp=1, iters=2,
-                source="synthetic", data_dir=None, output=None,
-                predict_batches=1, topk=5)
-    base.update(kw)
-    return argparse.Namespace(**base)
+    args = build_parser().parse_args([])
+    args.batch_size, args.iters, args.predict_batches = 2, 2, 1
+    for k, v in kw.items():
+        assert hasattr(args, k), k
+        setattr(args, k, v)
+    return args
 
 
 def test_serve_workload_seg(tmp_path):
@@ -149,6 +147,29 @@ def test_serve_workload_rejects_cls_only_flags(tmp_path):
         main(_serve_args(workload="seg", program="x.bin"))
     with pytest.raises(SystemExit):
         main(_serve_args(workload="gan"))  # no artifact
+
+
+def test_serve_rejects_unknown_model_names(tmp_path):
+    """Typos must fail loudly, not silently serve a default architecture."""
+    from frostnet_tpu.serve import main
+    import pytest
+
+    with pytest.raises(SystemExit):  # det: not qssd/qtdsod
+        main(_serve_args(workload="det", model="tdsod", artifact="x"))
+    with pytest.raises(ValueError):  # gan: define_g rejects the typo
+        main(_serve_args(workload="gan", model="resnet9blocks",
+                         artifact=str(tmp_path / "missing.npz")))
+
+
+def test_serve_det_dataset_selects_config():
+    """--dataset coco must size the head/priors from the coco config."""
+    from frostnet_tpu.detection.anchors import make_priors
+    from frostnet_tpu.detection.train import select_config
+
+    voc, coco = select_config("qssd", "voc"), select_config("qssd", "coco")
+    assert coco["num_classes"] != voc["num_classes"]
+    # serve builds priors straight from the selected config
+    assert make_priors(coco).shape[0] > 0
 
 
 def test_predictor_from_checkpoint(tmp_path, monkeypatch):
