@@ -34,9 +34,17 @@ Variants:
   bit-identical but SLOWER than the XLA composition — 18.4 vs 16.0
   ms/batch (0.87x). Kept for A/B comparison.
 - ``preshift`` (v2): the three dx-shifted views are stacked OUTSIDE the
-  kernel (one XLA slice+concat copy, int8 so ~3x the input bytes — cheap
-  vs the s32 round-trip it replaces); in-kernel slicing then touches only
-  untiled dims (shift index and H), so no relayouts remain.
+  kernel (one XLA slice+concat copy, int8 so ~3x the input bytes); in-kernel
+  slicing then touches only untiled dims (shift index and H), so no
+  relayouts remain. MEASURED (2026-08-19, same whole-net protocol as v1):
+  SLOWER still — 20.9 ms/batch vs XLA 16.1 (0.77x); the 3x stacked input
+  blows the per-batch VMEM residency (12.4 MB at 64x64x256) and its HBM
+  copy costs more than the relayouts it removes.
+
+Both variants lose the whole-net A/B (scripts/bench_gan_int8_ab.py), so
+the kernel is OFF by default everywhere; the XLA s32-conv composition is
+the production path. Kept as the measured record that VMEM-resident
+Pallas formulations of this op were tried and beaten by XLA on v5e.
 
 Reference parity context: the reference serves converted qnnpack Conv2d
 modules whose requant epilogue is fused inside the qnnpack microkernel
