@@ -15,9 +15,11 @@ Robustness contract (round-2 fix for BENCH_r01 rc=124/parsed=null):
   crash. Degraded runs emit {"value": 0, "degraded": true, "reason": ...}.
 - A watchdog hard-caps wall clock at BENCH_BUDGET_S (default 420 s) and
   emits the degraded line before exiting.
-- The compile cache lives in the COMMITTED bench_cache/jax directory, so the
-  driver's run reuses the TPU executables pre-warmed in-repo (fresh remote
-  compiles take minutes; warm ones take seconds).
+- The compile cache lives in bench_cache/jax (on disk, gitignored since the
+  blobs exceed GitHub file limits), so the driver's in-tree run reuses the
+  TPU executables pre-warmed here (fresh remote compiles take minutes; warm
+  ones take seconds). A fresh clone starts cold: the first run may emit the
+  degraded line once while the cache warms.
 """
 import json
 import os
