@@ -379,9 +379,18 @@ def main(args):
                     f.write(json.dumps(rec) + "\n")
         print(f"[serve] predictions -> {args.output}")
     elif args.output:
+        # double-buffered batch prediction: JAX dispatch is async, so kicking
+        # off batch i+1 BEFORE postprocessing batch i overlaps the host-side
+        # PNG/jsonl encoding with the device forward of the next batch
+        pending = None
         for i in range(args.predict_batches):
             x, _ = next(gen)
-            postprocess(args.output, x, pred(x), i * args.batch_size)
+            out = pred(x)
+            if pending is not None:
+                postprocess(args.output, *pending)
+            pending = (x, out, i * args.batch_size)
+        if pending is not None:
+            postprocess(args.output, *pending)
         print(f"[serve] predictions -> {args.output}")
     return report
 

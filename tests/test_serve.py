@@ -105,11 +105,14 @@ def test_serve_workload_gan(tmp_path):
     export_int8(variables, art)
 
     outdir = str(tmp_path / "fakes")
+    # predict_batches=2 exercises the double-buffered --output loop
+    # (dispatch batch i+1 before postprocessing batch i, then final flush)
     report = main(_serve_args(workload="gan", model="resnet_6blocks",
                               artifact=art, ngf=8, image_size=64,
-                              batch_size=1, output=outdir))
+                              batch_size=1, output=outdir,
+                              predict_batches=2))
     assert report["workload"] == "gan"
-    assert sorted(os.listdir(outdir)) == ["fake_00000.png"]
+    assert sorted(os.listdir(outdir)) == ["fake_00000.png", "fake_00001.png"]
 
 
 def test_serve_workload_det(tmp_path):
