@@ -89,8 +89,9 @@ def main():
     macs = 2 * N ** 3
     rows = [("xla_int8", xla_int8, xi, wi), ("xla_bf16", xla_bf16, xb, wb)]
     # the pallas legs keep whole operands in VMEM (no grid): skip when the
-    # int8 x/w/acc/out residency would blow the ~16 MB scoped-vmem limit
-    if N * N * (1 + 1 + 4 + 1) <= 12 * 1024 * 1024:
+    # WORST leg's residency would blow the ~16 MB scoped-vmem limit — that is
+    # bf16 at 10 B/elem (2+2 operands, 4 acc, 2 out; int8 is 7 B/elem)
+    if N * N * (2 + 2 + 4 + 2) <= 12 * 1024 * 1024:
         rows += [("pallas_int8", pallas_int8, xi, wi),
                  ("pallas_bf16", pallas_bf16, xb, wb)]
     print(f"{N}x{N}x{N} dots, {INNER} per iter, best-of-3 "

@@ -81,12 +81,14 @@ def test_int8_formulation_bit_identical_to_generic(case, qconfig):
                  jnp.float32(0.043), jnp.int32(117))
 
     got = jax.jit(lambda vv, xx: model.apply(vv, xx, mode=INT8))(v, xq)
-    qw, w_scale, bf, out_scale, out_zp = model.apply(
-        v, xq, mode=INT8, int8_params_only=True)
-    want = _generic_int8(xq, qw, w_scale, bf, out_scale, out_zp,
-                         stride=stride, padding=pad, dilation=dil,
-                         groups=groups, act="relu",
-                         aspec=qconfig.activation)
+    qw, w_scale, bf, out_scale, out_zp = jax.jit(
+        lambda vv, xx: model.apply(vv, xx, mode=INT8, int8_params_only=True)
+    )(v, xq)
+    want = jax.jit(
+        lambda xx: _generic_int8(xx, qw, w_scale, bf, out_scale, out_zp,
+                                 stride=stride, padding=pad, dilation=dil,
+                                 groups=groups, act="relu",
+                                 aspec=qconfig.activation))(xq)
 
     assert got.q.dtype == want.dtype
     np.testing.assert_array_equal(np.asarray(got.q), np.asarray(want))
