@@ -293,6 +293,50 @@ def _tree_scalar(out) -> jnp.ndarray:
     return sum(x.astype(jnp.float32).sum() for x in leaves)
 
 
+def _list_folder_images(root: str) -> list:
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    paths = []
+    for dirpath, _, files in os.walk(root):
+        paths.extend(os.path.join(dirpath, f) for f in files
+                     if f.lower().endswith(exts))
+    if not paths:
+        raise SystemExit(f"no images under {root}")
+    return sorted(paths)
+
+
+def _folder_batches(args, shape) -> Iterator[np.ndarray]:
+    """--source folder for the non-cls workloads, with each workload's OWN
+    eval preprocessing (feeding classifier-normalized tensors would silently
+    serve garbage): seg /255 then imagenet mean/std (segmentation/data.py:57),
+    det RGB->BGR minus the SSD BGR means (detection/data.py:165,
+    BaseTransform), gan bicubic resize then [-1,1] (gan/data.py:43-46, the
+    test-time protocol). Cycles the folder so --iters never underruns."""
+    from PIL import Image
+
+    from .data.datasets import IMAGENET_MEAN, IMAGENET_STD
+    from .detection.data import MEANS
+
+    _, h, w, _ = shape
+    paths = _list_folder_images(args.data_dir)
+    resample = Image.BICUBIC if args.workload == "gan" else Image.BILINEAR
+    i = 0
+    while True:
+        imgs = []
+        for _ in range(args.batch_size):
+            img = Image.open(paths[i % len(paths)]).convert("RGB")
+            i += 1
+            arr = np.asarray(img.resize((w, h), resample), np.float32)
+            if args.workload == "seg":
+                arr = ((arr / 255.0 - np.asarray(IMAGENET_MEAN, np.float32))
+                       / np.asarray(IMAGENET_STD, np.float32))
+            elif args.workload == "det":
+                arr = arr[..., ::-1] - np.asarray(MEANS, np.float32)
+            else:  # gan
+                arr = arr / 255.0 * 2.0 - 1.0
+            imgs.append(arr)
+        yield np.stack(imgs), None
+
+
 def _batches(args) -> Iterator[np.ndarray]:
     if args.source == "synthetic":
         rng = np.random.RandomState(0)
@@ -300,6 +344,8 @@ def _batches(args) -> Iterator[np.ndarray]:
                         (args.batch_size, args.image_size, args.image_size, 3))
         while True:
             yield rng.randn(*shape).astype(np.float32), None
+    elif args.workload != "cls":
+        yield from _folder_batches(args, args._input_shape)
     else:
         from .data import FolderClassification
 

@@ -115,6 +115,69 @@ def test_serve_workload_gan(tmp_path):
     assert sorted(os.listdir(outdir)) == ["fake_00000.png", "fake_00001.png"]
 
 
+def test_folder_batches_use_workload_preprocessing(tmp_path):
+    """--source folder must apply each workload's OWN eval normalization
+    (not the classifier transform): solid-color image -> exact values."""
+    from PIL import Image
+
+    from frostnet_tpu.data.datasets import IMAGENET_MEAN, IMAGENET_STD
+    from frostnet_tpu.serve import _folder_batches
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    Image.new("RGB", (8, 8), (200, 100, 50)).save(folder / "a.png")
+
+    def first(workload, shape):
+        args = _serve_args(workload=workload, data_dir=str(folder),
+                           source="folder", batch_size=2)
+        x, label = next(_folder_batches(args, shape))
+        assert x.shape == shape and label is None
+        return x
+
+    x = first("seg", (2, 4, 8, 3))
+    want = (np.array([200, 100, 50], np.float32) / 255.0
+            - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+                IMAGENET_STD, np.float32)
+    np.testing.assert_allclose(x[0, 0, 0], want, rtol=1e-6)
+
+    x = first("det", (2, 6, 6, 3))  # RGB->BGR then minus (104,117,123)
+    np.testing.assert_allclose(x[1, 2, 3], [50 - 104, 100 - 117, 200 - 123])
+
+    x = first("gan", (2, 4, 4, 3))
+    np.testing.assert_allclose(
+        x[0, 1, 1], np.array([200, 100, 50], np.float32) / 255.0 * 2 - 1,
+        rtol=1e-6)
+
+
+def test_serve_workload_gan_folder_source(tmp_path):
+    """End-to-end: serve --workload gan --source folder cycles real images
+    through the [-1,1] protocol and writes the gallery."""
+    from PIL import Image
+
+    from frostnet_tpu.gan.networks import define_g
+    from frostnet_tpu.serve import main
+
+    model = define_g(ngf=8, netG="resnet_6blocks", quantized=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda k, i: model.init(k, i, mode=QAT, train=True))(
+        jax.random.PRNGKey(0), x)
+    art = str(tmp_path / "netg.npz")
+    export_int8(variables, art)
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    Image.new("RGB", (32, 32), (10, 200, 30)).save(folder / "only.png")
+
+    outdir = str(tmp_path / "fakes")
+    report = main(_serve_args(workload="gan", model="resnet_6blocks",
+                              artifact=art, ngf=8, image_size=64,
+                              batch_size=1, iters=2, source="folder",
+                              data_dir=str(folder), output=outdir,
+                              predict_batches=2))
+    assert report["workload"] == "gan"
+    assert sorted(os.listdir(outdir)) == ["fake_00000.png", "fake_00001.png"]
+
+
 def test_serve_workload_det(tmp_path):
     """serve --workload det: feat+head artifacts -> detections jsonl."""
     from frostnet_tpu.detection.models import build_ssd
