@@ -82,6 +82,24 @@ def set_s2d_float_conv(enabled: bool) -> None:
     _S2D_FLOAT_CONV = enabled
 
 
+# Shifted multiply-add route for FLOAT depthwise convs (the float twin of the
+# INT8 depthwise formulation below). Motivation: the round-4 HLO study found
+# lax.conv's depthwise lowering moves ~11x more bytes than k*k shifted MAs at
+# dense-prediction shapes, and the QAT train step is HBM-bound with conv
+# fusions running at 550 GB/s vs loop fusions at 866 (runs/
+# profile_r04_summary.txt). The MA form is ONE loop fusion that XLA can merge
+# with the surrounding BN/fake-quant chains. Accumulates in f32 (the same
+# effective precision as lax.conv's MXU accumulation for bf16 operands), so
+# it is equal to lax.conv up to f32 reassociation. Off by default until the
+# whole-step A/B on the real chip decides (same protocol as s2d/Pallas).
+_DW_MA_FLOAT_CONV: bool = False
+
+
+def set_dw_ma_float_conv(enabled: bool) -> None:
+    global _DW_MA_FLOAT_CONV
+    _DW_MA_FLOAT_CONV = enabled
+
+
 def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
@@ -136,6 +154,8 @@ class QConvBNAct(fnn.Module):
 
     def _conv(self, x, w, strides, padding, dilation):
         y = self._conv_s2d(x, w, strides, padding, dilation)
+        if y is None:
+            y = self._conv_dw_ma(x, w, strides, padding, dilation)
         if y is None:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
@@ -202,6 +222,50 @@ class QConvBNAct(fnn.Module):
         yc = _s2d.conv_same_s2d(xc, w.astype(self.dtype), bsz, pb, kb,
                                 precision=self.precision)
         return yc[:, half:half + h_out, half:half + w_out, :]
+
+    def _conv_dw_ma(self, x, w, strides, padding, dilation):
+        """Float depthwise conv as k*k shifted multiply-adds (flag-gated).
+
+        Same formulation (and slice arithmetic) as the INT8 depthwise branch
+        below; group-major channel-multiplier ordering matches lax.conv
+        (output channel oc reads input channel oc // mult). Returns None when
+        the shape isn't depthwise or the route is off; the caller then keeps
+        lax.conv.
+        """
+        if not _DW_MA_FLOAT_CONV:
+            return None
+        if isinstance(padding, str):
+            return None
+        in_features = x.shape[-1]
+        if not (self.groups > 1 and self.groups == in_features
+                and w.shape[2] == 1):
+            return None
+        kh, kw = w.shape[0], w.shape[1]
+        if kh == 1 and kw == 1:
+            return None
+        (ph_lo, ph_hi), (pw_lo, pw_hi) = padding
+        xd = x.astype(self.dtype)
+        if ph_lo or ph_hi or pw_lo or pw_hi:
+            xd = jnp.pad(xd, ((0, 0), (ph_lo, ph_hi), (pw_lo, pw_hi), (0, 0)))
+        hp, wp = xd.shape[1], xd.shape[2]
+        dh, dw_ = dilation
+        sh, sw = strides
+        ho = (hp - dh * (kh - 1) - 1) // sh + 1
+        wo = (wp - dw_ * (kw - 1) - 1) // sw + 1
+        if ho <= 0 or wo <= 0:
+            return None
+        mult = self.features // self.groups
+        acc = jnp.zeros((xd.shape[0], ho, wo, self.features), jnp.float32)
+        for dy in range(kh):
+            for dx in range(kw):
+                tap = w[dy, dx, 0].astype(self.dtype).astype(jnp.float32)
+                sl = xd[:, dy * dh:dy * dh + (ho - 1) * sh + 1:sh,
+                        dx * dw_:dx * dw_ + (wo - 1) * sw + 1:sw, :]
+                sl = sl.astype(jnp.float32)
+                if mult > 1:
+                    sl = jnp.repeat(sl, mult, axis=3)
+                acc = acc + tap * sl
+        return acc.astype(self.dtype)
 
     @fnn.compact
     def __call__(self, x, mode: QuantMode = QuantMode(), train: bool = False,
