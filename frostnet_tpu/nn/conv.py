@@ -82,6 +82,27 @@ def set_s2d_float_conv(enabled: bool) -> None:
     _S2D_FLOAT_CONV = enabled
 
 
+# Im2col route for dense k>1 INT8 convs: build int8 patches from k*k strided
+# slices (a pure copy fusion) and run ONE dot_general contracting k*k*Cin —
+# the requant epilogue then fuses into the dot like the 1x1 path, so the s32
+# accumulator never round-trips HBM. Profitable when the patch traffic
+# (2 * k^2 * Cin bytes/out-pixel, write+read) undercuts the s32 accumulator
+# traffic it removes (8 * Cout bytes/out-pixel): stems and other
+# channel-expanding convs. None = auto (modeled-2x-win gate, like
+# ops/s2d_conv.plan); True/False force for whole-net A/Bs.
+_INT8_DENSE_IM2COL: Optional[bool] = None
+
+
+def set_int8_dense_im2col(enabled: Optional[bool]) -> None:
+    global _INT8_DENSE_IM2COL
+    _INT8_DENSE_IM2COL = enabled
+
+
+def _im2col_auto_profitable(kh: int, kw: int, cin: int, cout: int) -> bool:
+    # require the modeled byte saving to be >=2x: k^2*Cin <= 2*Cout
+    return kh * kw * cin <= 2 * cout
+
+
 # Shifted multiply-add route for FLOAT depthwise convs (the float twin of the
 # INT8 depthwise formulation below). Motivation: the round-4 HLO study found
 # lax.conv's depthwise lowering moves ~11x more bytes than k*k shifted MAs at
@@ -404,6 +425,34 @@ class QConvBNAct(fnn.Module):
                         if mult > 1:
                             sl = jnp.repeat(sl, mult, axis=3)
                         acc = acc + tap * sl
+            elif self.groups == 1 and (
+                    _INT8_DENSE_IM2COL if _INT8_DENSE_IM2COL is not None
+                    else _im2col_auto_profitable(kh, kw, in_features,
+                                                 self.features)):
+                # Dense k>1 as im2col + ONE dot_general: k*k strided slices
+                # concatenated channel-wise (a copy fusion; int8 bytes), then
+                # a single dot contracting k*k*Cin whose requant epilogue
+                # FUSES like the 1x1 path — no s32 accumulator round trip.
+                # Engaged (auto) only where the modeled byte saving is >=2x:
+                # stems / channel-expanding convs (k^2*Cin <= 2*Cout).
+                hp, wp = x8p.shape[1], x8p.shape[2]
+                dh, dw_ = dilation
+                sh, sw = strides
+                ho = (hp - dh * (kh - 1) - 1) // sh + 1
+                wo = (wp - dw_ * (kw - 1) - 1) // sw + 1
+                cols = []
+                for dy in range(kh):
+                    for dx in range(kw):
+                        cols.append(
+                            x8p[:, dy * dh:dy * dh + (ho - 1) * sh + 1:sh,
+                                dx * dw_:dx * dw_ + (wo - 1) * sw + 1:sw, :])
+                patches = jnp.concatenate(cols, axis=-1)
+                # qw is (kh, kw, Cin, Cout); C-order reshape gives rows
+                # ordered (dy, dx, cin) — exactly the concat order above
+                wmat = qw.reshape(kh * kw * in_features, self.features)
+                acc = jax.lax.dot_general(
+                    patches, wmat, (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
             else:
                 # Dense k>1: prefer the fused Pallas kernel (conv + requant
                 # epilogue in VMEM, HBM sees int8 in / uint8 out) when the

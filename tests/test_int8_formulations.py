@@ -34,6 +34,8 @@ CASES = [
     ("dw_k5", 6, 5, 1, 2, 1, 6, 6),         # ... larger taps (MBv3 5x5)
     ("dw_mult2", 12, 3, 1, 1, 1, 6, 6),     # ... channel multiplier 2
     ("dense_3x3", 8, 3, 1, 1, 1, 1, 6),     # generic s32 lax.conv path
+    ("stem_3x3_im2col", 16, 3, 2, 1, 1, 1, 3),   # im2col auto-engaged (27<=32)
+    ("stem_7x7_im2col", 32, 7, 2, 3, 1, 1, 1),   # im2col 7x7 stem (49<=64)
 ]
 
 
@@ -94,3 +96,58 @@ def test_int8_formulation_bit_identical_to_generic(case, qconfig):
     np.testing.assert_array_equal(np.asarray(got.q), np.asarray(want))
     np.testing.assert_allclose(float(got.scale), float(out_scale))
     assert int(got.zero_point) == int(out_zp)
+
+
+def test_im2col_auto_gate():
+    """The auto gate engages exactly where the modeled byte saving is >=2x
+    (k^2*Cin <= 2*Cout): stems yes, body 3x3 Cin==Cout no."""
+    from frostnet_tpu.nn.conv import _im2col_auto_profitable
+
+    assert _im2col_auto_profitable(3, 3, 3, 32)        # mobile stem 3->32
+    assert _im2col_auto_profitable(3, 3, 3, 16)        # tiny stem, boundary
+    assert not _im2col_auto_profitable(7, 7, 3, 64)    # resnet/GAN 7x7 stem
+    assert not _im2col_auto_profitable(3, 3, 64, 64)   # resnet body
+    assert not _im2col_auto_profitable(3, 3, 6, 8)     # the dense_3x3 case
+
+
+@pytest.mark.parametrize("case", [
+    # dense shapes the AUTO gate rejects: force the im2col route and pin it
+    # bit-identical anyway (the whole-net A/B may widen the gate later)
+    ("dense_3x3_forced", 8, 3, 1, 1, 1, 1, 6),
+    ("dense_3x3_s2_forced", 8, 3, 2, 1, 1, 1, 6),
+    ("dense_3x3_dil2_forced", 8, 3, 1, 2, 2, 1, 6),
+    ("dense_7x7_forced", 8, 7, 2, 3, 1, 1, 6),
+    ("dense_5x5_pad0_forced", 8, 5, 1, 0, 1, 1, 6),
+], ids=lambda c: c[0])
+def test_im2col_forced_bit_identical(case):
+    from frostnet_tpu.nn import conv as conv_mod
+
+    name, feat, k, stride, pad, dil, groups, cin = case
+    model = QConvBNAct(features=feat, kernel_size=k, strides=stride,
+                       padding=pad, dilation=dil, groups=groups, act="relu",
+                       qconfig=QNNPACK)
+    rng = np.random.RandomState(1)
+    xf = jnp.asarray(rng.randn(2, 13, 15, cin).astype(np.float32) * 1.5)
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(lambda kk, xx: model.init(kk, xx, mode=QAT, train=True))(key, xf)
+    _, mut = jax.jit(
+        lambda vv, xx: model.apply(vv, xx, mode=QAT, train=True,
+                                   mutable=["quant", "batch_stats"])
+    )(v, xf)
+    v = {"params": v["params"], **mut}
+    xq = QTensor(jnp.asarray(rng.randint(0, 256, (2, 13, 15, cin), np.uint8)),
+                 jnp.float32(0.043), jnp.int32(117))
+    try:
+        conv_mod.set_int8_dense_im2col(True)
+        got = jax.jit(lambda vv, xx: model.apply(vv, xx, mode=INT8))(v, xq)
+    finally:
+        conv_mod.set_int8_dense_im2col(None)
+    # the generic one-formulation reference: forced OFF -> s32 lax.conv
+    try:
+        conv_mod.set_int8_dense_im2col(False)
+        want = jax.jit(lambda vv, xx: model.apply(vv, xx, mode=INT8))(v, xq)
+    finally:
+        conv_mod.set_int8_dense_im2col(None)
+    np.testing.assert_array_equal(np.asarray(got.q), np.asarray(want.q))
+    np.testing.assert_allclose(float(got.scale), float(want.scale))
+    assert int(got.zero_point) == int(want.zero_point)
