@@ -19,7 +19,8 @@ from ..quant.qtensor import QTensor
 from .conv import QConvBNAct, kaiming_normal_fan_out
 from .mode import QuantMode
 from .pool import global_avg_pool
-from .quant_ops import QAdd, QMul, add_scalar, mul_scalar, observed_fake_quant
+from .quant_ops import (QAdd, QMul, add_scalar, mul_scalar,
+                        observed_fake_quant, observed_standalone_act)
 
 
 def _relu(x):
@@ -40,25 +41,32 @@ def _relu6(x):
 
 class QHswish(fnn.Module):
     """x * relu6(x+3) / 6 as observed ops (reference mobilenetv3.py:43-56):
-    add_scalar -> relu6 -> observed mul -> mul_scalar."""
+    add_scalar -> relu6 (standalone, observed in QAT) -> observed mul ->
+    mul_scalar. The relu6 requant matches torch eager QAT, which hooks a
+    FakeQuantize onto the bare nn.ReLU6 (round-5 trajectory-parity fix)."""
 
     qconfig: QConfig = QNNPACK
 
     @fnn.compact
     def __call__(self, x, mode: QuantMode = QuantMode()):
         out = _relu6(add_scalar(x, 3.0))
+        out = observed_standalone_act(self, "relu6_obs", out,
+                                      self.qconfig.activation, mode)
         out = QMul(self.qconfig, name="quant_mul")(x, out, mode)
         return mul_scalar(out, 1.0 / 6.0)
 
 
 class QHsigmoid(fnn.Module):
-    """relu6(x+3)/6 (reference mobilenetv3.py:59-69)."""
+    """relu6(x+3)/6 (reference mobilenetv3.py:59-69); the standalone relu6
+    is observed in QAT like torch's hooked nn.ReLU6."""
 
     qconfig: QConfig = QNNPACK
 
     @fnn.compact
     def __call__(self, x, mode: QuantMode = QuantMode()):
         out = _relu6(add_scalar(x, 3.0))
+        out = observed_standalone_act(self, "relu6_obs", out,
+                                      self.qconfig.activation, mode)
         return mul_scalar(out, 1.0 / 6.0)
 
 
@@ -199,6 +207,13 @@ class BottleneckV3(fnn.Module):
         if hs:
             out = QHswish(self.qconfig, name="dw_hs")(out, mode) if self.quantized \
                 else out * jnp.clip(out + 3.0, 0, 6) / 6
+        elif self.quantized:
+            # the reference RE bottleneck's post-SE activation is a BARE
+            # nn.ReLU in the Sequential (mobilenetv3.py:137), so torch eager
+            # QAT observes + requantizes its output (converted int8 clamps
+            # on the input grid) — mirror that, not a silent float relu
+            out = observed_standalone_act(self, "relu_obs", _relu(out),
+                                          self.qconfig.activation, mode)
         else:
             out = _relu(out)
         out = QConvBNAct(self.out_channels, 1, act=None, name="project", **kw)(out, mode, train)

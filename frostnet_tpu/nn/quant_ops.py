@@ -77,6 +77,25 @@ def observed_fake_quant(
     return apply_observer(module, obs, x, spec, mode, channel_axis)
 
 
+def observed_standalone_act(module: fnn.Module, name: str, x, spec: QSpec,
+                            mode: QuantMode):
+    """The numerics of a STANDALONE torch activation module under eager
+    quantization (a bare ``nn.ReLU``/``nn.ReLU6`` that is not fused into a
+    preceding ConvBn): ``prepare_qat`` hooks a FakeQuantize onto the module
+    output, so during QAT the activation output is observed AND requantized
+    on its own grid; ``convert`` maps it to nnq.ReLU/ReLU6, which clamps on
+    the INPUT grid with NO requant (reference mobilenetv3.py:46-56 _Hswish
+    relu6, :137 the RE bottleneck's bare ReLU). Mirror both: QTensor inputs
+    (INT8 mode) pass through untouched — the caller already clamped on the
+    integer grid — while the float/QAT path applies the observer; the
+    observer variable exists in EVERY mode so the pytree stays stable."""
+    nc = None
+    obs = module.variable("quant", name, lambda: init_observer(nc))
+    if isinstance(x, QTensor):
+        return x
+    return apply_observer(module, obs, x, spec, mode)
+
+
 def stored_qparams(module: fnn.Module, name: str, spec: QSpec):
     """Read frozen (scale, zero_point) for INT8 inference from observer state."""
     obs = module.variable("quant", name, lambda: init_observer(None))

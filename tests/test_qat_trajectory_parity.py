@@ -170,6 +170,219 @@ def test_convbn_block_train_dynamics_match_torch(act, depthwise):
 
 
 # ---------------------------------------------------------------------------
+# 1b. MBv3 quant-op dynamics: Hswish / Hsigmoid+SE gate (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+#
+# The reference builds these from FloatFunctional precisely because they are
+# quantization-sensitive (mobilenetv3.py:43-104). Torch eager QAT hooks a
+# FakeQuantize onto the BARE nn.ReLU6 inside _Hswish/_Hsigmoid (standalone
+# module -> observed + requantized during QAT), which round 5 found our
+# QHswish/QHsigmoid were missing; these tests pin the fixed trained dynamics
+# against the reference's own torch modules run through prepare_qat.
+
+
+def _load_ref_mbv3_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mbv3",
+        "/root/reference/Classification/models/imagenet/mobilenetv3.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _observer_endpoints_close(ours, theirs, tol=0.02):
+    span = max(float(theirs.max_val) - float(theirs.min_val), 1e-3)
+    assert abs(float(ours.min_val) - float(theirs.min_val)) / span < tol, (
+        float(ours.min_val), float(theirs.min_val))
+    assert abs(float(ours.max_val) - float(theirs.max_val)) / span < tol, (
+        float(ours.max_val), float(theirs.max_val))
+
+
+def _train_pair(tblock, jblock, jv, X, TGT, steps=BLK_STEPS, lr=BLK_LR):
+    """Run both stacks for `steps` SGD steps on the same MSE task; return
+    (torch losses, jax losses, trained variables)."""
+    topt = torch.optim.SGD(tblock.parameters(), lr=lr)
+    xt = torch.from_numpy(X.transpose(0, 3, 1, 2))
+    tt = torch.from_numpy(TGT.transpose(0, 3, 1, 2))
+    xj, tj = jnp.asarray(X), jnp.asarray(TGT)
+    tx = optax.sgd(lr)
+    opt_state = tx.init(jv["params"])
+
+    @jax.jit
+    def step(variables, opt_state, xb, tb):
+        def loss_fn(params):
+            out, mutated = jblock.apply(
+                {**variables, "params": params}, xb, mode=QAT, train=True,
+                mutable=["quant", "batch_stats"])
+            return jnp.mean((out - tb) ** 2), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        return {**variables, **mutated, "params": params}, opt_state, loss
+
+    t_losses, j_losses = [], []
+    for _ in range(steps):
+        topt.zero_grad()
+        tl = ((tblock(xt) - tt) ** 2).mean()
+        tl.backward()
+        topt.step()
+        t_losses.append(float(tl.detach()))
+        jv, opt_state, jl = step(jv, opt_state, xj, tj)
+        j_losses.append(float(jl))
+    return np.asarray(t_losses), np.asarray(j_losses), jv
+
+
+def test_hswish_block_train_dynamics_match_torch():
+    """ConvBN + _Hswish (the _ConvBNHswish pattern): the add_scalar ->
+    relu6(observed) -> mul(observed) -> mul_scalar chain must integrate to
+    torch's trajectory. Measured on these seeds: max per-step loss rel
+    1.2e-3, final kernel relL2 9.5e-4 (4 rounding layers vs the plain
+    block's 2); bands ~8-20x measured."""
+    import flax.linen as fnn_mod
+
+    from frostnet_tpu.nn.blocks import QHswish
+
+    ref = _load_ref_mbv3_module()
+    cin = cout = 8
+    rng = np.random.RandomState(5)
+    X = rng.randn(BLK_BS, BLK_IMG, BLK_IMG, cin).astype(np.float32)
+    TGT = (rng.randn(BLK_BS, BLK_IMG, BLK_IMG, cout) * 0.5).astype(np.float32)
+
+    torch.manual_seed(1)
+
+    class TBlk(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cb = ref._ConvBN(cin, cout, 3, 1, 1)
+            self.act = ref._Hswish(True)
+
+        def forward(self, x):
+            return self.act(self.cb(x))
+
+    tblock = TBlk()
+    w0 = tblock.cb.cb[0].weight.detach().numpy()
+    tblock.train()
+    tq.fuse_modules_qat(tblock.cb.cb, ["0", "1"], inplace=True)
+    tblock.qconfig = tq.get_default_qat_qconfig("qnnpack")
+    tq.prepare_qat(tblock, inplace=True)
+
+    class JBlk(fnn_mod.Module):
+        @fnn_mod.compact
+        def __call__(self, x, mode=QAT, train=False):
+            y = QConvBNAct(features=cout, kernel_size=3, padding=1, act=None,
+                           name="cb")(x, mode, train)
+            return QHswish(name="hs")(y, mode)
+
+    jblock = JBlk()
+    jv = dict(jax.jit(
+        lambda k, x: jblock.init(k, x, mode=QAT, train=True))(
+            jax.random.PRNGKey(0), jnp.asarray(X)))
+    jv["params"] = jax.tree.map(lambda v: v, jv["params"])
+    jv["params"]["cb"] = dict(jv["params"]["cb"])
+    jv["params"]["cb"]["kernel"] = jnp.asarray(w0.transpose(2, 3, 1, 0))
+
+    t_losses, j_losses, jv = _train_pair(tblock, jblock, jv, X, TGT)
+    rel = np.abs(j_losses - t_losses) / np.maximum(np.abs(t_losses), 1e-6)
+    assert rel.max() < 1e-2, (rel.max(), rel.argmax())
+
+    # trained conv weight + observer endpoints for every site in the chain
+    tw = tblock.cb.cb[0].weight.detach().numpy().transpose(2, 3, 1, 0)
+    assert _rel_l2(jv["params"]["cb"]["kernel"], tw) < 2e-2
+    q = jv["quant"]
+    _observer_endpoints_close(q["cb"]["act_obs"],
+                              _inner(tblock.cb.cb[0].activation_post_process))
+    _observer_endpoints_close(q["hs"]["relu6_obs"],
+                              _inner(tblock.act.relu6.activation_post_process))
+    _observer_endpoints_close(q["hs"]["quant_mul"]["act"],
+                              _inner(tblock.act.quant_mul1.activation_post_process))
+
+
+def _inner(fq):
+    return getattr(fq, "activation_post_process", fq)
+
+
+def test_se_block_train_dynamics_match_torch():
+    """ConvBN + SEModule: avg-pool -> LinearReLU -> Linear -> _Hsigmoid
+    (observed relu6) -> broadcast QMul gate. The gate multiply couples every
+    channel's gradient through the SE path, so a wrong observer placement or
+    gate formulation diverges fast. Measured max per-step loss rel 1.5e-3,
+    kernel relL2 6e-4, fc1/fc2 relL2 3.6e-4/4.7e-5; bands ~10-100x."""
+    import flax.linen as fnn_mod
+
+    from frostnet_tpu.nn.blocks import QSEModule
+
+    ref = _load_ref_mbv3_module()
+    cin = cout = 8
+    rng = np.random.RandomState(7)
+    X = rng.randn(BLK_BS, BLK_IMG, BLK_IMG, cin).astype(np.float32)
+    TGT = (rng.randn(BLK_BS, BLK_IMG, BLK_IMG, cout) * 0.5).astype(np.float32)
+
+    torch.manual_seed(2)
+
+    class TBlk(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cb = ref._ConvBN(cin, cout, 3, 1, 1)
+            self.se = ref.SEModule(cout)
+
+        def forward(self, x):
+            return self.se(self.cb(x))
+
+    tblock = TBlk()
+    w0 = tblock.cb.cb[0].weight.detach().numpy()
+    fc1_0 = tblock.se.fc[0].weight.detach().numpy()
+    fc2_0 = tblock.se.fc[2].weight.detach().numpy()
+    tblock.train()
+    tq.fuse_modules_qat(tblock.cb.cb, ["0", "1"], inplace=True)
+    tq.fuse_modules_qat(tblock.se.fc, ["0", "1"], inplace=True)
+    tblock.qconfig = tq.get_default_qat_qconfig("qnnpack")
+    tq.prepare_qat(tblock, inplace=True)
+
+    class JBlk(fnn_mod.Module):
+        @fnn_mod.compact
+        def __call__(self, x, mode=QAT, train=False):
+            y = QConvBNAct(features=cout, kernel_size=3, padding=1, act=None,
+                           name="cb")(x, mode, train)
+            return QSEModule(name="se")(y, mode)
+
+    jblock = JBlk()
+    jv = dict(jax.jit(
+        lambda k, x: jblock.init(k, x, mode=QAT, train=True))(
+            jax.random.PRNGKey(0), jnp.asarray(X)))
+    jv["params"] = jax.tree.map(lambda v: v, jv["params"])
+    jv["params"]["cb"] = dict(jv["params"]["cb"])
+    jv["params"]["cb"]["kernel"] = jnp.asarray(w0.transpose(2, 3, 1, 0))
+    jv["params"]["se"] = dict(jv["params"]["se"])
+    jv["params"]["se"]["fc1"] = {"kernel": jnp.asarray(
+        fc1_0.T[:, :, None, None])}
+    jv["params"]["se"]["fc2"] = {"kernel": jnp.asarray(
+        fc2_0.T[:, :, None, None])}
+
+    t_losses, j_losses, jv = _train_pair(tblock, jblock, jv, X, TGT)
+    rel = np.abs(j_losses - t_losses) / np.maximum(np.abs(t_losses), 1e-6)
+    assert rel.max() < 1.5e-2, (rel.max(), rel.argmax())
+
+    tw = tblock.cb.cb[0].weight.detach().numpy().transpose(2, 3, 1, 0)
+    assert _rel_l2(jv["params"]["cb"]["kernel"], tw) < 2e-2
+    # the SE fc weights trained through the gate gradient
+    assert _rel_l2(jv["params"]["se"]["fc1"]["kernel"][..., 0, 0],
+                   tblock.se.fc[0].weight.detach().numpy().T) < 5e-2
+    assert _rel_l2(jv["params"]["se"]["fc2"]["kernel"][..., 0, 0],
+                   tblock.se.fc[2].weight.detach().numpy().T) < 5e-2
+    q = jv["quant"]
+    _observer_endpoints_close(q["cb"]["act_obs"],
+                              _inner(tblock.cb.cb[0].activation_post_process))
+    _observer_endpoints_close(q["se"]["hsig"]["relu6_obs"],
+                              _inner(tblock.se.fc[3].relu6.activation_post_process))
+    _observer_endpoints_close(q["se"]["quant_mul"]["act"],
+                              _inner(tblock.se.quant_mul.activation_post_process))
+
+
+# ---------------------------------------------------------------------------
 # 2. whole-net trajectory structure
 # ---------------------------------------------------------------------------
 
