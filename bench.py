@@ -42,6 +42,8 @@ TARGET = 2.0 * A100_EAGER_QAT_IMG_S
 BATCH = int(os.environ.get("BENCH_BATCH", 256))  # honest sweep: 256 > 512 (3.0k vs 2.8k img/s)
 _R = os.environ.get("BENCH_REMAT", "0")  # 0 | 1/full | conv_outs (A/B knob)
 REMAT = {"0": False, "1": True, "full": True}.get(_R, _R)
+DW_MA = os.environ.get("BENCH_DW_MA", "0") == "1"  # float-depthwise shifted-MA
+                                                   # route A/B (VERDICT r4 #2)
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 REPS = int(os.environ.get("BENCH_REPS", 3))  # report best-of-N: host/tunnel
 IMAGE = 224                                  # contention skews single reps
@@ -136,6 +138,10 @@ def child_main() -> None:
     from frostnet_tpu.optim import get_optimizer, grouped_weight_decay
     from frostnet_tpu.parallel import make_mesh, replicate, shard_batch
     from frostnet_tpu.train import create_train_state, make_train_step
+
+    if DW_MA:
+        from frostnet_tpu.nn.conv import set_dw_ma_float_conv
+        set_dw_ma_float_conv(True)
 
     n_chips = jax.device_count()
     model = create_model("frostnet_quant_large_1_0", num_classes=1000,

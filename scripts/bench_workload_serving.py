@@ -114,7 +114,14 @@ def main():
                         "width stays 2x)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--cost", action="store_true")
+    p.add_argument("--im2col", default="auto", choices=["auto", "on", "off"],
+                   help="dense-k>1 INT8 im2col route (nn/conv.py): auto = "
+                        "modeled-win gate, on/off force for A/Bs")
     args = p.parse_args()
+
+    if args.im2col != "auto":
+        from frostnet_tpu.nn.conv import set_int8_dense_im2col
+        set_int8_dense_im2col(args.im2col == "on")
 
     from frostnet_tpu.nn import FP32, QAT_FROZEN, INT8
     mode_map = {"fp32": FP32, "qat": QAT_FROZEN, "int8": INT8}

@@ -43,7 +43,14 @@ def main():
     p.add_argument("--reps", type=int, default=1,
                    help="repetitions per mode; >1 reports median ± spread")
     p.add_argument("--models", default=None, help="comma list override")
+    p.add_argument("--im2col", default="auto", choices=["auto", "on", "off"],
+                   help="dense-k>1 INT8 im2col route (nn/conv.py): auto = "
+                        "modeled-win gate, on/off force for A/Bs")
     args = p.parse_args()
+
+    if args.im2col != "auto":
+        from frostnet_tpu.nn.conv import set_int8_dense_im2col
+        set_int8_dense_im2col(args.im2col == "on")
 
     from frostnet_tpu.train import latency_check
 

@@ -6,7 +6,7 @@
 #   bash scripts/tpu_recovery_runlist.sh 2>&1 | tee /tmp/tpu_recovery.log
 #
 # Order: cheapest/most-important first, so a short recovery window still
-# yields the headline number.
+# yields the headline number. Round-5 backlog (VERDICT r4 items 1,2,3,6).
 set -u
 cd "$(dirname "$0")/.."
 
@@ -19,10 +19,27 @@ run() {
 # 1. Headline driver bench (QAT train img/s) — warms bench_cache too.
 run python bench.py
 
-# 2. Cross-workload INT8-vs-FP32 serving table (PARITY.md pending row).
-run python scripts/bench_workload_serving.py --workloads seg,gan,det
+# 2. dw-MA float-depthwise whole-step A/B (VERDICT item 2): same protocol,
+#    flag flipped via env. Record both lines in runs/dw_ma_ab_r05.txt.
+run env BENCH_DW_MA=1 python bench.py
 
-# 3. Re-warm the entry() compile cache so the driver's compile-check is fast.
+# 3. qresnet18 INT8 im2col A/B (VERDICT item 3): auto gate vs forced-on
+#    vs forced-off at bs8/bs32.
+run python scripts/latency_table.py --models qresnet18 --batch 8  --reps 3 --im2col auto
+run python scripts/latency_table.py --models qresnet18 --batch 8  --reps 3 --im2col on
+run python scripts/latency_table.py --models qresnet18 --batch 32 --reps 3 --im2col auto
+run python scripts/latency_table.py --models qresnet18 --batch 32 --reps 3 --im2col on
+
+# 4. Full-resolution cityscapes seg serving point (VERDICT item 6):
+#    2048x1024 = the reference latency_check resolution; bs1 to fit HBM.
+run python scripts/bench_workload_serving.py --workloads seg --batch 1 --image 1024
+
+# 5. GAN generator with forced im2col (dense 3x3 body: gate says off —
+#    measure to confirm or flip).
+run python scripts/bench_workload_serving.py --workloads gan --im2col auto
+run python scripts/bench_workload_serving.py --workloads gan --im2col on
+
+# 6. Re-warm the entry() compile cache so the driver's compile-check is fast.
 run python -c "
 import __graft_entry__ as g, jax
 fn, args = g.entry()
