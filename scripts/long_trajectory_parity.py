@@ -97,10 +97,15 @@ def main():
     t_losses = np.asarray(t_losses)
     j_losses = np.asarray(j_losses)
 
-    # converged tails
+    # converged tails. At this horizon both stacks memorize to ~0, so a
+    # relative gap is denominator-degenerate — report absolute tail losses,
+    # the absolute gap, and the steps-to-memorization crossing instead.
     t_tail = t_losses[-20:].mean()
     j_tail = j_losses[-20:].mean()
-    tail_rel = abs(j_tail - t_tail) / max(t_tail, 1e-9)
+
+    def cross(l, frac=0.05):
+        idx = np.nonzero(l < frac * l[0])[0]
+        return int(idx[0]) if len(idx) else -1
 
     # trained observer agreement
     worst, worst_path = 0.0, None
@@ -113,22 +118,24 @@ def main():
         if rel > worst:
             worst, worst_path = rel, path
 
+    marks = [25, 50, 100, 150, STEPS] if STEPS >= 150 else [STEPS]
     lines = [
         f"Long-horizon whole-net QAT trajectory parity (round 5)",
         f"model: tiny FrostNet small/0.35 quantized, {NCLASS} classes, "
         f"full-batch SGD lr={LR}, {STEPS} steps, memorizable labels",
         f"initial loss: torch {t_losses[0]:.4f} jax {j_losses[0]:.4f}",
-        f"final loss:   torch {t_losses[-1]:.6f} jax {j_losses[-1]:.6f}",
-        f"tail mean (last 20): torch {t_tail:.6f} jax {j_tail:.6f} "
-        f"rel gap {tail_rel:.4f}",
-        f"memorization: torch final/initial {t_losses[-1]/t_losses[0]:.5f}, "
-        f"jax {j_losses[-1]/j_losses[0]:.5f}",
+        "checkpoints (step: torch / jax loss): " + "  ".join(
+            f"{m}: {t_losses[m-1]:.2e}/{j_losses[m-1]:.2e}" for m in marks),
+        f"tail mean (last 20): torch {t_tail:.2e} jax {j_tail:.2e} "
+        f"abs gap {abs(j_tail - t_tail):.2e}",
+        f"steps to memorize (<5% of initial): torch {cross(t_losses)} "
+        f"jax {cross(j_losses)}",
         f"worst trained-observer endpoint drift: {worst:.4f} of span "
         f"at {worst_path}",
-        f"per-step loss rel gap: median "
-        f"{np.median(np.abs(j_losses-t_losses)/np.maximum(t_losses,1e-9)):.4f}"
-        f", max {np.max(np.abs(j_losses-t_losses)/np.maximum(t_losses,1e-9)):.4f}"
-        f" (mid-descent chaos is expected; the tail is the claim)",
+        "(mid-descent per-step losses are chaos-bounded and NOT compared — "
+        "see tests/test_qat_trajectory_parity.py; the converged tail, the "
+        "memorization crossing, and the trained observer endpoints are "
+        "the claims)",
     ]
     out = "\n".join(lines) + "\n"
     print(out)

@@ -10,6 +10,17 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# Quiet-host guard: chained timings taken while a pytest suite (or any heavy
+# CPU job) runs measure contention, not the device (CLAUDE.md). Wait for the
+# 1-min loadavg to settle before measuring, but not forever — the tunnel
+# window may be short; a capped wait then proceeding beats missing it.
+for _ in $(seq 1 60); do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  awk "BEGIN{exit !($load < 1.5)}" && break
+  echo "host busy (loadavg $load); waiting 60s for quiet"
+  sleep 60
+done
+
 run() {
   echo "=== [$(date -u +%FT%TZ)] $* ==="
   timeout 1800 "$@"
