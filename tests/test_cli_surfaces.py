@@ -13,6 +13,9 @@ import sys
 
 import pytest
 
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
 CLIS = [
     "frostnet_tpu.train.classification",
     "frostnet_tpu.train.evaluate",

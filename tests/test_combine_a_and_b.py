@@ -7,6 +7,9 @@ import sys
 import numpy as np
 import pytest
 
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
 _spec = importlib.util.spec_from_file_location(
     "combine_a_and_b",
     os.path.join(os.path.dirname(__file__), "..", "scripts", "combine_a_and_b.py"))

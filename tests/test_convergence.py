@@ -5,6 +5,7 @@ fit by a tiny FrostNet through the full phase sequence: FP32 warm-up with
 GradBoost stats -> QAT with fake-quant + noise -> INT8 eval. Chance is 1/3;
 we require near-perfect train accuracy and INT8 agreement.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,8 +14,13 @@ from frostnet_tpu.models.frostnet import FrostNet
 from frostnet_tpu.nn import FP32, QAT, QAT_FROZEN, INT8
 from frostnet_tpu.optim import get_optimizer, grouped_weight_decay
 from frostnet_tpu.train import (create_train_state, make_train_step,
+
                                 make_eval_step, recalibrate)
 
+
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 def _make_batch(rng, n=64):
     # per-pixel noise + a mean shift on the label channel: linearly separable

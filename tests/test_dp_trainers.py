@@ -15,8 +15,11 @@ import pytest
 from frostnet_tpu.nn import QAT, QAT_FROZEN
 from frostnet_tpu.parallel import make_mesh, replicate, shard_batch
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+pytestmark = [
+    pytest.mark.slow,  # heavy tier: excluded from `pytest -m "not slow"`
+    pytest.mark.skipif(jax.device_count() < 8,
+                       reason="needs the 8-device CPU mesh"),
+]
 
 
 def test_detection_dp_step_runs_sharded():

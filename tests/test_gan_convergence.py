@@ -6,6 +6,7 @@ this adds the assertions it lacks: over 30 steps on a fixed synthetic task
 the G L1 term must decrease materially and the lsgan D loss must stay in a
 sane band (no collapse, no explosion). Also covers the colorization data
 mode (L -> ab channels, data/colorization_dataset.py equivalent)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,9 @@ from frostnet_tpu.gan import (
 from frostnet_tpu.gan.data import ColorizationDataset
 from frostnet_tpu.nn import FP32, QAT
 from frostnet_tpu.optim import adam, qadam, set_warmup
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 WARMUP, QAT_STEPS = 10, 20
 

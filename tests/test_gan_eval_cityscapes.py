@@ -1,6 +1,7 @@
 """FCN-score protocol (gan/eval_cityscapes): hist/score formulas oracle-matched
 against the reference's numpy util (Style_Transfer/scripts/eval_cityscapes/
 util.py), plus an end-to-end score_pairs drive with a real seg model."""
+import pytest
 import importlib.util
 import sys
 
@@ -9,12 +10,17 @@ import jax
 import jax.numpy as jnp
 
 from frostnet_tpu.gan.eval_cityscapes import (
+
     fast_hist,
     get_scores,
     make_seg_predict_fn,
     score_pairs,
 )
 
+
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 def _load_reference_util():
     if "ref_cs_util" in sys.modules:

@@ -7,9 +7,13 @@ the driver's MULTICHIP check after the round ends — pin it in the suite
 instead. Runs in a subprocess because the entry module mirrors env platform
 pins at import time (CLAUDE.md).
 """
+import pytest
 import os
 import subprocess
 import sys
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

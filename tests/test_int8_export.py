@@ -3,6 +3,7 @@
 Covers the reference's converted-model save + print_size_of_model flow
 (Classification/evaluate.py:117-120,140-143) as an explicit on-disk contract.
 """
+import pytest
 import os
 
 import jax
@@ -14,6 +15,9 @@ from frostnet_tpu.nn import QAT, QAT_FROZEN, INT8
 from frostnet_tpu.optim import get_optimizer
 from frostnet_tpu.quant import export_int8, load_int8, freeze
 from frostnet_tpu.train import create_train_state, make_train_step
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 
 def _trained_state(rng_seed=0, steps=3):

@@ -37,6 +37,9 @@ from frostnet_tpu.nn.blocks import BottleneckV3
 from frostnet_tpu.nn.quant_ops import QuantStub, dequant
 from frostnet_tpu.quant.observer import ObserverState
 
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
 BS, IMG, CIN, COUT, EXP = 4, 16, 16, 16, 24
 
 

@@ -12,6 +12,9 @@ from PIL import Image
 pytest.importorskip("frostnet_tpu.native")
 from frostnet_tpu.native import NativeDetectionLoader  # noqa: E402
 
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
 
 def _scene(d, n=6, size=(96, 128)):
     """Images with one saturated red box on black; box coords in pixels."""

@@ -12,6 +12,9 @@ from PIL import Image
 pytest.importorskip("frostnet_tpu.native")
 from frostnet_tpu.native import NativeSegmentationLoader  # noqa: E402
 
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
 
 def _write_pairs(d, n=8, size=(40, 60), classes=19, img_fmt="png"):
     rng = np.random.RandomState(0)

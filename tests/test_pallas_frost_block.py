@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 from frostnet_tpu.ops.pallas_frost_block import (
+
     FrostBlockSpec,
     frost_block_int8,
     pick_batch_tile,
@@ -50,6 +51,10 @@ def test_fused_block_bit_exact(spec):
 @pytest.mark.parametrize("backend", ["qnnpack", "fbgemm"])
 def test_model_fused_matches_unfused(backend):
     """FrostNet(fuse_int8=True) INT8 logits are bit-identical to the unfused
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
     INT8 path on the same calibrated variables (the wiring contract:
     models/frostnet.py CascadePreExBottleneck._fused_int8) — for both the
     per-tensor u8[0,255] qnnpack grid and fbgemm's reduce_range [0,127]."""

@@ -40,11 +40,16 @@ import torch.nn.functional as F
 from frostnet_tpu.nn import QAT
 from frostnet_tpu.nn.conv import QConvBNAct
 from tests.test_torch_e2e_parity import (
+
     _build_calibrated_pair,
     _synced_variables,
     _torch_observer_for,
     _walk_observers,
 )
+
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 # ---------------------------------------------------------------------------
 # 1. single-block dynamics

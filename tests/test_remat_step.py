@@ -13,6 +13,7 @@ through ~30 rounding layers (quanta flips cascade), so even plain jit vs
 mutation count and (b) remat-vs-plain staying within that same inherent
 compilation sensitivity.
 """
+import pytest
 import flax.linen as fnn
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,9 @@ from frostnet_tpu.models.frostnet import FrostNet
 from frostnet_tpu.nn import QAT
 from frostnet_tpu.optim import get_optimizer
 from frostnet_tpu.train import create_train_state, make_train_step
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 
 class CountingNet(fnn.Module):

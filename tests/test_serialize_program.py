@@ -20,6 +20,9 @@ from frostnet_tpu.optim import get_optimizer
 from frostnet_tpu.quant import export_serving, load_serving, freeze
 from frostnet_tpu.train import create_train_state, make_train_step
 
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained():

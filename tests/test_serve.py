@@ -3,6 +3,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -13,6 +14,9 @@ from frostnet_tpu.quant import export_int8
 from frostnet_tpu.serve import Int8Predictor
 from frostnet_tpu.train import create_train_state, make_train_step
 from frostnet_tpu.utils.checkpoint import save_checkpoint
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 MODEL = "frostnet_quant_tiny"  # not a registry name; built directly below
 

@@ -39,6 +39,9 @@ from frostnet_tpu.nn import FP32, INT8, QAT, QAT_FROZEN
 from frostnet_tpu.quant.observer import ObserverState
 from tests.test_frostnet_model import _load_reference_frostnet
 
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
 NCLASS = 8
 IMG = 64
 CALIB_BATCHES = 3

@@ -1,6 +1,7 @@
 """End-to-end smoke: StatAssist warm-up -> QAT -> eval on the 8-device CPU
 mesh (the reference's train_one_iter smoke pattern, helper_functions.py:166-230,
 plus multi-device coverage the reference never had)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,9 @@ from frostnet_tpu.nn import FP32, QAT, QAT_FROZEN
 from frostnet_tpu.optim import get_optimizer, grouped_weight_decay, GradBoostState
 from frostnet_tpu.parallel import make_mesh, replicate, shard_batch
 from frostnet_tpu.train import create_train_state, make_train_step, make_eval_step
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 
 def test_statassist_qat_train_steps_on_mesh():

@@ -17,6 +17,9 @@ import pytest
 from frostnet_tpu.nn import FP32, QAT, QAT_FROZEN
 from frostnet_tpu.nn.conv import QConvBNAct
 
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
+
 # ---------------------------------------------------------------------------
 # detection: one axis-aligned colored square on a dark field, 2 classes
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ down; numerics of the underlying blocks are covered by the golden tests).
 - Segmentation: logits at input resolution, 19 classes.
 - GAN: generator preserves shape in [-1,1]; one pix2pix D/G step runs.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +24,9 @@ from frostnet_tpu.gan import SyntheticPairs, define_d, define_g, make_net_state,
 from frostnet_tpu.nn import FP32, QAT
 from frostnet_tpu.optim import adam, qadam
 from frostnet_tpu.segmentation import MobileNetV3Seg
+
+# Heavy tier: excluded from `pytest -m "not slow"` (the sub-15-min fast signal)
+pytestmark = pytest.mark.slow
 
 
 def _trace_init(model, x, **kw):
