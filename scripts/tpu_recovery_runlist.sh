@@ -21,8 +21,19 @@ for _ in $(seq 1 60); do
   sleep 60
 done
 
+# Readback probe: the degraded-tunnel mode that matters passes small RPCs
+# but stalls bulk transfers, so legs without internal probes would burn
+# their whole timeout. Gate every leg on a fresh probe and skip when dead.
+probe() {
+  timeout 90 python -c 'import jax, jax.numpy as jnp; x=jnp.ones((256,256)); print(float(jax.jit(lambda a:(a@a).sum())(x)))' >/dev/null 2>&1
+}
+
 run() {
   echo "=== [$(date -u +%FT%TZ)] $* ==="
+  if ! probe; then
+    echo "=== SKIPPED (tunnel probe failed) ==="
+    return 1
+  fi
   timeout 1800 "$@"
   echo "=== exit=$? ==="
 }
