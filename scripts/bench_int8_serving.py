@@ -40,7 +40,14 @@ def main():
     p.add_argument("--cost", action="store_true", help="print XLA cost analysis")
     p.add_argument("--check", action="store_true",
                    help="assert fused INT8 logits == unfused on the chip")
+    p.add_argument("--im2col", default="auto", choices=["auto", "on", "off"],
+                   help="dense-k>1 INT8 im2col route (nn/conv.py): auto = "
+                        "modeled-win gate, on/off force for A/Bs")
     args = p.parse_args()
+
+    if args.im2col != "auto":
+        from frostnet_tpu.nn.conv import set_int8_dense_im2col
+        set_int8_dense_im2col(args.im2col == "on")
 
     from frostnet_tpu.models import create_model
     from frostnet_tpu.nn import FP32, QAT, QAT_FROZEN, INT8

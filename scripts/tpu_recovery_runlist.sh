@@ -52,6 +52,11 @@ run python scripts/latency_table.py --models qresnet18 --batch 8  --reps 3 --im2
 run python scripts/latency_table.py --models qresnet18 --batch 32 --reps 3 --im2col auto
 run python scripts/latency_table.py --models qresnet18 --batch 32 --reps 3 --im2col on
 
+# 3b. cls serving: the auto im2col gate engages every mobile model's stem —
+#     verify it does not regress the headline cls serving row (r4: 69.3k).
+run python scripts/bench_int8_serving.py --modes int8 --im2col auto
+run python scripts/bench_int8_serving.py --modes int8 --im2col off
+
 # 4. Full-resolution cityscapes seg serving point (VERDICT item 6):
 #    2048x1024 = the reference latency_check resolution; bs1 to fit HBM.
 run python scripts/bench_workload_serving.py --workloads seg --batch 1 --image 1024
