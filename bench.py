@@ -170,6 +170,13 @@ def child_main() -> None:
     state = state.start_qat()
 
     step = make_train_step(model, QAT, num_classes=1000, remat=REMAT)
+    if os.environ.get("FROSTNET_COMPILE_ONLY") == "1":
+        # prewarm the persistent compile cache without executing (the
+        # degraded tunnel serves compiles while readbacks stall)
+        step.lower(state, batch).compile()
+        _t("child: compile-only prewarm done")
+        print("DONE", flush=True)
+        return
     state, _ = step(state, batch)  # compile + 1 step
     jax.block_until_ready(state.params)
     _t("child: train step compiled + warm step done")

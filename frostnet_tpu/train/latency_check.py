@@ -50,10 +50,18 @@ def time_mode(model, variables, x, mode, iters=100, warmup=3, reps=1,
         jfn = jax.jit(lambda i, a: model.apply(variables, i + a * 0, mode=mode)
                       .astype(jnp.float32).sum() * 1e-30)
         fn = lambda a: jfn(x, a)  # noqa: E731
+        lower_args = (x, jnp.float32(0))
     else:
         jfn = jax.jit(lambda v, i, a: model.apply(v, i + a * 0, mode=mode)
                       .astype(jnp.float32).sum() * 1e-30)
         fn = lambda a: jfn(variables, x, a)  # noqa: E731
+        lower_args = (variables, x, jnp.float32(0))
+    import os
+    if os.environ.get("FROSTNET_COMPILE_ONLY") == "1":
+        # prewarm the persistent compile cache without executing (the
+        # degraded tunnel serves compiles while readbacks stall — CLAUDE.md)
+        jfn.lower(*lower_args).compile()
+        return (float("nan"), 0.0) if reps > 1 else float("nan")
     acc = jnp.float32(0)
     for _ in range(warmup):
         acc = fn(acc)

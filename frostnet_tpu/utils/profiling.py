@@ -10,6 +10,7 @@ The reference has wall-clock timers only (SURVEY.md §5.1). Here:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Dict, Optional
 
@@ -88,6 +89,14 @@ def chain_time(fn, x, *rest, steps: int = 10, inner: int = 1, reps: int = 3,
         return jnp.sum(fn(final, *rest_).astype(jnp.float32))
 
     cfn = jax.jit(chained)
+    if os.environ.get("FROSTNET_COMPILE_ONLY") == "1":
+        # Prewarm mode: populate the persistent compile cache WITHOUT
+        # executing. The axon tunnel's degraded mode still serves compiles
+        # while large-executable loads/readbacks stall (measured round 5),
+        # so a prewarm pass during an outage makes every measurement leg
+        # start warm when a window opens.
+        cfn.lower(x, rest).compile()
+        return float("nan")
     v = float(cfn(x, rest))  # compile + warm
     assert v == v, "nan from timed fn"
     best = float("inf")
