@@ -44,6 +44,8 @@ _R = os.environ.get("BENCH_REMAT", "0")  # 0 | 1/full | conv_outs (A/B knob)
 REMAT = {"0": False, "1": True, "full": True}.get(_R, _R)
 DW_MA = os.environ.get("BENCH_DW_MA", "0") == "1"  # float-depthwise shifted-MA
                                                    # route A/B (VERDICT r4 #2)
+PACKED_MASK = os.environ.get("BENCH_PACKED_MASK", "0") == "1"  # bit-packed
+                                                   # STE-mask residuals A/B
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 REPS = int(os.environ.get("BENCH_REPS", 3))  # report best-of-N: host/tunnel
 IMAGE = 224                                  # contention skews single reps
@@ -142,6 +144,9 @@ def child_main() -> None:
     if DW_MA:
         from frostnet_tpu.nn.conv import set_dw_ma_float_conv
         set_dw_ma_float_conv(True)
+    if PACKED_MASK:
+        from frostnet_tpu.quant.fake_quant import set_packed_ste_mask
+        set_packed_ste_mask(True)
 
     n_chips = jax.device_count()
     model = create_model("frostnet_quant_large_1_0", num_classes=1000,

@@ -34,6 +34,40 @@ def _fq_fwd_math(x, scale, zero_point, qmin, qmax):
     return out.astype(x.dtype), mask
 
 
+# Bit-packed STE-mask residuals (round 5, opt-in): the QAT train step is
+# HBM-bound, and every activation fake-quant stores its in-range mask as a
+# residual for the backward — XLA materializes it at 1 byte/element (bool).
+# Packing 8 booleans/byte cuts that residual 8x with EXACT gradients
+# (packing is lossless; the unpack fuses into the backward's where()).
+# Off by default until the whole-step A/B on the real chip decides
+# (BENCH_PACKED_MASK=1; same protocol as the dw-MA/s2d/Pallas decisions).
+_PACKED_STE_MASK: bool = False
+
+
+def set_packed_ste_mask(enabled: bool) -> None:
+    global _PACKED_STE_MASK
+    _PACKED_STE_MASK = enabled
+
+
+_BIT_WEIGHTS = tuple(1 << i for i in range(8))
+
+
+def _pack_mask(mask):
+    flat = mask.reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % 8
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    bits = flat.reshape(-1, 8).astype(jnp.uint8)
+    w = jnp.asarray(_BIT_WEIGHTS, jnp.uint8)
+    return jnp.sum(bits * w, axis=1, dtype=jnp.uint8)
+
+
+def _unpack_mask(packed, n, shape):
+    bits = (packed[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    return bits.reshape(-1)[:n].astype(jnp.bool_).reshape(shape)
+
+
 @jax.custom_vjp
 def _fake_quant(x, scale, zero_point, qmin, qmax):
     out, _ = _fq_fwd_math(x, scale, zero_point, qmin, qmax)
@@ -42,10 +76,17 @@ def _fake_quant(x, scale, zero_point, qmin, qmax):
 
 def _fake_quant_fwd(x, scale, zero_point, qmin, qmax):
     out, mask = _fq_fwd_math(x, scale, zero_point, qmin, qmax)
+    if _PACKED_STE_MASK:
+        return out, _pack_mask(mask)
     return out, mask
 
 
-def _fake_quant_bwd(mask, g):
+def _fake_quant_bwd(res, g):
+    if res.dtype == jnp.uint8:
+        # packed residual; g has the primal's shape, so recover it from g
+        mask = _unpack_mask(res, g.size, g.shape)
+    else:
+        mask = res
     return (jnp.where(mask, g, 0.0).astype(g.dtype), None, None, None, None)
 
 

@@ -45,6 +45,10 @@ run python bench.py
 #    flag flipped via env. Record both lines in runs/dw_ma_ab_r05.txt.
 run env BENCH_DW_MA=1 python bench.py
 
+# 2b. bit-packed STE-mask residuals A/B (round-5 lever: 8x smaller
+#     fake-quant backward residuals on an HBM-bound step; exact grads).
+run env BENCH_PACKED_MASK=1 python bench.py
+
 # 3. qresnet18 INT8 im2col A/B (VERDICT item 3): auto gate vs forced-on
 #    vs forced-off at bs8/bs32.
 run python scripts/latency_table.py --models qresnet18 --batch 8  --reps 3 --im2col auto
