@@ -49,6 +49,9 @@ run env BENCH_DW_MA=1 python bench.py
 #     fake-quant backward residuals on an HBM-bound step; exact grads).
 run env BENCH_PACKED_MASK=1 python bench.py
 
+# 2c. combined (if both individual levers win, this is the candidate default)
+run env BENCH_DW_MA=1 BENCH_PACKED_MASK=1 python bench.py
+
 # 3. qresnet18 INT8 im2col A/B (VERDICT item 3): auto gate vs forced-on
 #    vs forced-off at bs8/bs32.
 run python scripts/latency_table.py --models qresnet18 --batch 8  --reps 3 --im2col auto
