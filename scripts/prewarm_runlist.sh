@@ -25,7 +25,6 @@ run() {
 run python bench.py --child
 run env BENCH_DW_MA=1 python bench.py --child
 run env BENCH_PACKED_MASK=1 python bench.py --child
-run env BENCH_DW_MA=1 BENCH_PACKED_MASK=1 python bench.py --child
 
 # qresnet18 im2col A/B legs
 run python scripts/latency_table.py --models qresnet18 --batch 8  --reps 3 --im2col auto

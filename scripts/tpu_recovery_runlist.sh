@@ -49,8 +49,11 @@ run env BENCH_DW_MA=1 python bench.py
 #     fake-quant backward residuals on an HBM-bound step; exact grads).
 run env BENCH_PACKED_MASK=1 python bench.py
 
-# 2c. combined (if both individual levers win, this is the candidate default)
-run env BENCH_DW_MA=1 BENCH_PACKED_MASK=1 python bench.py
+# (a combined dw-MA + packed-mask leg was tried and dropped: the joint
+#  program fails remote compile with HBM OOM at bs256 (32.92G/15.75G) AND
+#  bs128 (16.44G) while each lever alone compiles at bs256 — the packed
+#  residual breaks the fusion/memory reuse the dw-MA bwd relies on; only
+#  individually-winning levers can become defaults.)
 
 # 3. qresnet18 INT8 im2col A/B (VERDICT item 3): auto gate vs forced-on
 #    vs forced-off at bs8/bs32.
