@@ -5,8 +5,13 @@
 #
 #   bash scripts/tpu_recovery_runlist.sh 2>&1 | tee /tmp/tpu_recovery.log
 #
-# Order: cheapest/most-important first, so a short recovery window still
-# yields the headline number. Round-5 backlog (VERDICT r4 items 1,2,3,6).
+# NOTE: the watcher snapshots this file before running it — bash reads
+# scripts by byte offset, so NEVER edit a copy that is currently executing.
+#
+# Round-5 state: the headline bench (3016.3 img/s, 1.588x) was banked at
+# 13:33Z from the committed warm cache — the UNMEASURED A/B legs now come
+# first so a short window yields new information, and the headline re-run
+# sits at the end as window-quality revalidation.
 set -u
 cd "$(dirname "$0")/.."
 
@@ -38,15 +43,11 @@ run() {
   echo "=== exit=$? ==="
 }
 
-# 1. Headline driver bench (QAT train img/s) — warms bench_cache too.
-run python bench.py
-
-# 2. dw-MA float-depthwise whole-step A/B (VERDICT item 2): same protocol,
-#    flag flipped via env. Record both lines in runs/dw_ma_ab_r05.txt.
+# 1. dw-MA float-depthwise whole-step A/B (VERDICT item 2).
 run env BENCH_DW_MA=1 python bench.py
 
-# 2b. bit-packed STE-mask residuals A/B (round-5 lever: 8x smaller
-#     fake-quant backward residuals on an HBM-bound step; exact grads).
+# 2. bit-packed STE-mask residuals A/B (round-5 lever: 8x smaller
+#    fake-quant backward residuals on an HBM-bound step; exact grads).
 run env BENCH_PACKED_MASK=1 python bench.py
 
 # (a combined dw-MA + packed-mask leg was tried and dropped: the joint
@@ -56,27 +57,31 @@ run env BENCH_PACKED_MASK=1 python bench.py
 #  individually-winning levers can become defaults.)
 
 # 3. qresnet18 INT8 im2col A/B (VERDICT item 3): auto gate vs forced-on
-#    vs forced-off at bs8/bs32.
+#    at bs8/bs32 (auto == off for resnet18: every shape is gate-rejected).
 run python scripts/latency_table.py --models qresnet18 --batch 8  --reps 3 --im2col auto
 run python scripts/latency_table.py --models qresnet18 --batch 8  --reps 3 --im2col on
 run python scripts/latency_table.py --models qresnet18 --batch 32 --reps 3 --im2col auto
 run python scripts/latency_table.py --models qresnet18 --batch 32 --reps 3 --im2col on
 
-# 3b. cls serving: the auto im2col gate engages every mobile model's stem —
-#     verify it does not regress the headline cls serving row (r4: 69.3k).
+# 4. cls serving: the auto im2col gate engages every mobile model's stem —
+#    verify it does not regress the headline cls serving row (r4: 69.3k).
 run python scripts/bench_int8_serving.py --modes int8 --im2col auto
 run python scripts/bench_int8_serving.py --modes int8 --im2col off
 
-# 4. Full-resolution cityscapes seg serving point (VERDICT item 6):
+# 5. Full-resolution cityscapes seg serving point (VERDICT item 6):
 #    2048x1024 = the reference latency_check resolution; bs1 to fit HBM.
 run python scripts/bench_workload_serving.py --workloads seg --batch 1 --image 1024
 
-# 5. GAN generator with forced im2col (dense 3x3 body: gate says off —
+# 6. GAN generator with forced im2col (dense 3x3 body: gate says off —
 #    measure to confirm or flip).
 run python scripts/bench_workload_serving.py --workloads gan --im2col auto
 run python scripts/bench_workload_serving.py --workloads gan --im2col on
 
-# 6. Re-warm the entry() compile cache so the driver's compile-check is fast.
+# 7. Headline driver bench re-run (already banked at 3016.3; revalidates
+#    the window and keeps bench_cache warm).
+run python bench.py
+
+# 8. Re-warm the entry() compile cache so the driver's compile-check is fast.
 run python -c "
 import __graft_entry__ as g, jax
 fn, args = g.entry()
