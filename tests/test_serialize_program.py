@@ -138,3 +138,32 @@ def test_serve_predictor_dp_sharded_program(trained, tmp_path):
     np.testing.assert_array_equal(np.asarray(dp3(x)), np.asarray(one(x)))
     x5 = x[:5]
     np.testing.assert_array_equal(np.asarray(dp3(x5)), np.asarray(one(x5)))
+
+
+def test_mbv3_program_roundtrip_exact(tmp_path):
+    """MBv3 small through export: the Hswish/Hsigmoid/SE INT8 ops (integer
+    clamp relu6, broadcast gate mul, scalar add/mul zero-point shifts) must
+    all lower through jax.export and serve bit-identically to freeze()."""
+    from frostnet_tpu.models import create_model
+
+    model = create_model("qmobilenet_v3_small_HS", num_classes=5)
+    rng = np.random.RandomState(0)
+    k = jax.random.PRNGKey(0)
+    x0 = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    v = jax.jit(lambda kk, xx: model.init({"params": kk, "dropout": kk}, xx,
+                                          mode=QAT, train=True))(k, x0)
+    apply_qat = jax.jit(lambda vv, xx: model.apply(
+        vv, xx, mode=QAT, train=True, mutable=["quant", "batch_stats"],
+        rngs={"dropout": k}))
+    for i in range(2):
+        _, mut = apply_qat(v, jnp.asarray(
+            rng.randn(2, 64, 64, 3).astype(np.float32)))
+        v = {"params": v["params"], **mut}
+
+    path = str(tmp_path / "mbv3.shlo")
+    export_serving(model, v, path, image_size=64)
+    serve = load_serving(path)
+    x = rng.randn(3, 64, 64, 3).astype(np.float32)
+    want = np.asarray(freeze(model, v)(jnp.asarray(x)))
+    got = np.asarray(serve(x))
+    np.testing.assert_array_equal(got, want)
