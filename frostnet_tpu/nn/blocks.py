@@ -207,14 +207,11 @@ class BottleneckV3(fnn.Module):
         if hs:
             out = QHswish(self.qconfig, name="dw_hs")(out, mode) if self.quantized \
                 else out * jnp.clip(out + 3.0, 0, 6) / 6
-        elif self.quantized:
-            # the reference RE bottleneck's post-SE activation is a BARE
-            # nn.ReLU in the Sequential (mobilenetv3.py:137), so torch eager
-            # QAT observes + requantizes its output (converted int8 clamps
-            # on the input grid) — mirror that, not a silent float relu
-            out = observed_standalone_act(self, "relu_obs", _relu(out),
-                                          self.qconfig.activation, mode)
         else:
+            # the bare post-SE nn.ReLU (mobilenetv3.py:137) gets NO observer
+            # in torch eager QAT — ReLU is in torch's no-observe passthrough
+            # set (quantized relu reuses input qparams), unlike ReLU6
+            # (verified against prepare_qat on the reference block, round 5)
             out = _relu(out)
         out = QConvBNAct(self.out_channels, 1, act=None, name="project", **kw)(out, mode, train)
         if use_res:

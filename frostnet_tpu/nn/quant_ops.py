@@ -83,9 +83,12 @@ def observed_standalone_act(module: fnn.Module, name: str, x, spec: QSpec,
     quantization (a bare ``nn.ReLU``/``nn.ReLU6`` that is not fused into a
     preceding ConvBn): ``prepare_qat`` hooks a FakeQuantize onto the module
     output, so during QAT the activation output is observed AND requantized
-    on its own grid; ``convert`` maps it to nnq.ReLU/ReLU6, which clamps on
+    on its own grid; ``convert`` maps it to nnq.ReLU6, which clamps on
     the INPUT grid with NO requant (reference mobilenetv3.py:46-56 _Hswish
-    relu6, :137 the RE bottleneck's bare ReLU). Mirror both: QTensor inputs
+    relu6). NOTE: this applies to ReLU6 only — a bare nn.ReLU is in torch's
+    no-observe passthrough set and gets no FakeQuantize (verified against
+    prepare_qat on the reference RE bottleneck, round 5), so plain relu
+    sites must NOT use this helper. Mirror both: QTensor inputs
     (INT8 mode) pass through untouched — the caller already clamped on the
     integer grid — while the float/QAT path applies the observer; the
     observer variable exists in EVERY mode so the pytree stays stable."""

@@ -265,3 +265,133 @@ def test_int8_outputs_match_torch_converted(calibrated_pair):
     quantum = (float(out_obs.max_val) - float(out_obs.min_val)) / 255.0
     diff = np.abs(got.transpose(0, 3, 1, 2) - want).max()
     assert diff <= 4 * quantum, (diff, quantum)
+
+
+def test_re_bottleneck_region_matches_torch(tmp_path):
+    """The RE bottleneck's BARE post-SE nn.ReLU (reference mobilenetv3.py:137)
+    gets NO observer in torch eager QAT (ReLU is in the no-observe
+    passthrough set, unlike ReLU6 — verified round 5, and the round-5
+    relu_obs addition was reverted accordingly). Pin the whole RE+SE
+    region's synced QAT-sim and converted-INT8 outputs like the HS region
+    above; the observer-map equality also asserts no extra observer
+    exists at the bare-relu site."""
+    ref = _load_ref_mbv3()
+    torch.manual_seed(5)
+
+    class TWrap(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.quant = tq.QuantStub()
+            self.block = ref.Bottleneck(CIN, COUT, EXP, 3, 1, se=True,
+                                        nl="RE")
+            self.dequant = tq.DeQuantStub()
+
+        def forward(self, x):
+            return self.dequant(self.block(self.quant(x)))
+
+    class JWrap(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, mode: QuantMode = QuantMode(),
+                     train: bool = False):
+            x = QuantStub(name="quant")(x, mode)
+            x = BottleneckV3(out_channels=COUT, exp_size=EXP, kernel_size=3,
+                             strides=1, se=True, nl="RE", name="block")(
+                x, mode, train)
+            return dequant(x)
+
+    tw = TWrap()
+    tw.eval()
+    w_expand = tw.block.conv[0].cbr[0].weight.detach().numpy()
+    w_dw = tw.block.conv[1].cb[0].weight.detach().numpy()
+    w_fc1 = tw.block.conv[2].fc[0].weight.detach().numpy()
+    w_fc2 = tw.block.conv[2].fc[2].weight.detach().numpy()
+    w_proj = tw.block.conv[4].cb[0].weight.detach().numpy()
+
+    jw = JWrap()
+    x0 = jnp.zeros((BS, IMG, IMG, CIN), jnp.float32)
+    variables = jax.jit(lambda k, x: jw.init(k, x, mode=QAT, train=True))(
+        jax.random.PRNGKey(1), x0)
+    params = jax.tree.map(lambda v: v, variables["params"])
+    blk = dict(params["block"])
+    blk["expand"] = {**blk["expand"],
+                     "kernel": jnp.asarray(w_expand.transpose(2, 3, 1, 0))}
+    blk["dw"] = {**blk["dw"], "kernel": jnp.asarray(w_dw.transpose(2, 3, 1, 0))}
+    blk["project"] = {**blk["project"],
+                      "kernel": jnp.asarray(w_proj.transpose(2, 3, 1, 0))}
+    blk["se"] = dict(blk["se"])
+    blk["se"]["fc1"] = {"kernel": jnp.asarray(w_fc1.T[:, :, None, None])}
+    blk["se"]["fc2"] = {"kernel": jnp.asarray(w_fc2.T[:, :, None, None])}
+    variables = {**variables, "params": {**params, "block": blk}}
+
+    tw.train()
+    orig_fuse = torch.quantization.fuse_modules
+    torch.quantization.fuse_modules = tq.fuse_modules_qat
+    try:
+        tw.block.fuse_model()
+    finally:
+        torch.quantization.fuse_modules = orig_fuse
+    tw.qconfig = tq.get_default_qat_qconfig("qnnpack")
+    tq.prepare_qat(tw, inplace=True)
+
+    apply_qat = jax.jit(lambda v, i: jw.apply(
+        v, i, mode=QAT, train=True, mutable=["quant", "batch_stats"]))
+    variables = dict(variables)
+    for xb in _batches(3, seed=17):
+        with torch.no_grad():
+            tw(torch.from_numpy(xb.transpose(0, 3, 1, 2)))
+        _, mutated = apply_qat(variables, jnp.asarray(xb))
+        variables.update(mutated)
+    tw.eval()
+    tw.apply(tq.disable_observer)
+
+    b = tw.block
+    omap = {
+        ("quant", "act"): _inner(tw.quant),
+        ("block", "expand", "w_obs"): _inner(b.conv[0].cbr[0].weight_fake_quant),
+        ("block", "expand", "act_obs"): _inner(b.conv[0].cbr[0]),
+        ("block", "dw", "w_obs"): _inner(b.conv[1].cb[0].weight_fake_quant),
+        ("block", "dw", "act_obs"): _inner(b.conv[1].cb[0]),
+        ("block", "se", "fc1", "w_obs"): _inner(b.conv[2].fc[0].weight_fake_quant),
+        ("block", "se", "fc1", "act_obs"): _inner(b.conv[2].fc[0]),
+        ("block", "se", "fc2", "w_obs"): _inner(b.conv[2].fc[2].weight_fake_quant),
+        ("block", "se", "fc2", "act_obs"): _inner(b.conv[2].fc[2]),
+        ("block", "se", "hsig", "relu6_obs"): _inner(b.conv[2].fc[3].relu6),
+        ("block", "se", "quant_mul", "act"): _inner(b.conv[2].quant_mul),
+        ("block", "project", "w_obs"): _inner(b.conv[4].cb[0].weight_fake_quant),
+        ("block", "project", "act_obs"): _inner(b.conv[4].cb[0]),
+        ("block", "skip_add", "act"): _inner(b.skip_add),
+    }
+    seen = {p for p, _ in _walk(variables["quant"])}
+    assert seen == set(omap), (seen ^ set(omap))
+
+    def rebuild(tree, path=()):
+        if isinstance(tree, ObserverState):
+            tobs = omap[path]
+            return ObserverState(min_val=jnp.float32(float(tobs.min_val)),
+                                 max_val=jnp.float32(float(tobs.max_val)))
+        return {k: rebuild(v, path + (k,)) for k, v in tree.items()}
+
+    bn_map = {"expand": b.conv[0].cbr[0].bn, "dw": b.conv[1].cb[0].bn,
+              "project": b.conv[4].cb[0].bn}
+    bs = {"block": {n: {"mean": jnp.asarray(m.running_mean.detach().numpy()),
+                        "var": jnp.asarray(m.running_var.detach().numpy())}
+                    for n, m in bn_map.items()}}
+    synced = {**variables, "quant": rebuild(variables["quant"]),
+              "batch_stats": bs}
+
+    xt = _batches(1, seed=55)[0]
+    out_obs = omap[("block", "skip_add", "act")]
+    quantum = (float(out_obs.max_val) - float(out_obs.min_val)) / 255.0
+
+    with torch.no_grad():
+        want_qat = tw(torch.from_numpy(xt.transpose(0, 3, 1, 2))).numpy()
+    got_qat = np.asarray(jax.jit(lambda v, i: jw.apply(v, i, mode=QAT_FROZEN))(
+        synced, jnp.asarray(xt)))
+    assert np.abs(got_qat.transpose(0, 3, 1, 2) - want_qat).max() <= 1.5 * quantum
+
+    tconv = tq.convert(tw.eval(), inplace=False)
+    with torch.no_grad():
+        want_i8 = tconv(torch.from_numpy(xt.transpose(0, 3, 1, 2))).numpy()
+    got_i8 = np.asarray(jax.jit(lambda v, i: jw.apply(v, i, mode=INT8))(
+        synced, jnp.asarray(xt)))
+    assert np.abs(got_i8.transpose(0, 3, 1, 2) - want_i8).max() <= 4 * quantum
