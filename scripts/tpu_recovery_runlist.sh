@@ -13,7 +13,7 @@
 # first so a short window yields new information, and the headline re-run
 # sits at the end as window-quality revalidation.
 set -u
-cd "$(dirname "$0")/.."
+cd /root/repo  # absolute: the watcher runs a /tmp snapshot of this file
 
 # Quiet-host guard: chained timings taken while a pytest suite (or any heavy
 # CPU job) runs measure contention, not the device (CLAUDE.md). Wait for the
