@@ -108,11 +108,12 @@ def _im2col_auto_profitable(kh: int, kw: int, cin: int, cout: int) -> bool:
 # lax.conv's depthwise lowering moves ~11x more bytes than k*k shifted MAs at
 # dense-prediction shapes, and the QAT train step is HBM-bound with conv
 # fusions running at 550 GB/s vs loop fusions at 866 (runs/
-# profile_r04_summary.txt). The MA form is ONE loop fusion that XLA can merge
-# with the surrounding BN/fake-quant chains. Accumulates in f32 (the same
-# effective precision as lax.conv's MXU accumulation for bf16 operands), so
-# it is equal to lax.conv up to f32 reassociation. Off by default until the
-# whole-step A/B on the real chip decides (same protocol as s2d/Pallas).
+# profile_r04_summary.txt). Accumulates in f32, equal to lax.conv up to f32
+# reassociation (tests/test_dw_ma_conv.py pins it bit-equal on integer data).
+# ROUND-5 WHOLE-STEP A/B: REJECTED — 1,226 vs 3,016 img/s on the driver
+# bench (runs/dw_ma_ab_r05.txt): in the TRAINING graph the MA form's f32
+# accumulator chain and its 9-residual autodiff backward cost far more than
+# the conv lowering it replaces. Stays OFF; flag kept for other hardware.
 _DW_MA_FLOAT_CONV: bool = False
 
 

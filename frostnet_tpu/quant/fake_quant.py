@@ -38,9 +38,11 @@ def _fq_fwd_math(x, scale, zero_point, qmin, qmax):
 # HBM-bound, and every activation fake-quant stores its in-range mask as a
 # residual for the backward — XLA materializes it at 1 byte/element (bool).
 # Packing 8 booleans/byte cuts that residual 8x with EXACT gradients
-# (packing is lossless; the unpack fuses into the backward's where()).
-# Off by default until the whole-step A/B on the real chip decides
-# (BENCH_PACKED_MASK=1; same protocol as the dw-MA/s2d/Pallas decisions).
+# (tests/test_packed_ste_mask.py). ROUND-5 WHOLE-STEP A/B: REJECTED —
+# 902 vs 3,016 img/s on the driver bench (runs/packed_mask_ab_r05.txt):
+# the cross-element pack/unpack reshuffle cannot fuse into the surrounding
+# elementwise chains, and the added materialization passes cost ~3x more
+# than the saved mask bytes. Stays OFF; flag kept for other hardware.
 _PACKED_STE_MASK: bool = False
 
 
