@@ -98,9 +98,22 @@ def set_int8_dense_im2col(enabled: Optional[bool]) -> None:
     _INT8_DENSE_IM2COL = enabled
 
 
+# Required modeled-win margin for the auto gate. Patch traffic is
+# 2*k^2*Cin bytes/out-pixel vs the 8*Cout it removes; margin m engages when
+# m * (2*k^2*Cin) <= 8*Cout. m=2.0 (default) covers 3x3 stems — validated
+# on-chip round 5 (cls bs128 88k -> 112k img/s). m=1.0 additionally covers
+# 7x7x3 stems (GAN/resnet: 147 <= 256) — A/B'able via the scripts'
+# --im2col-margin flag.
+_IM2COL_GATE_MARGIN: float = 2.0
+
+
+def set_im2col_gate_margin(margin: float) -> None:
+    global _IM2COL_GATE_MARGIN
+    _IM2COL_GATE_MARGIN = margin
+
+
 def _im2col_auto_profitable(kh: int, kw: int, cin: int, cout: int) -> bool:
-    # require the modeled byte saving to be >=2x: k^2*Cin <= 2*Cout
-    return kh * kw * cin <= 2 * cout
+    return _IM2COL_GATE_MARGIN * kh * kw * cin <= 4 * cout
 
 
 # Shifted multiply-add route for FLOAT depthwise convs (the float twin of the

@@ -117,11 +117,17 @@ def main():
     p.add_argument("--im2col", default="auto", choices=["auto", "on", "off"],
                    help="dense-k>1 INT8 im2col route (nn/conv.py): auto = "
                         "modeled-win gate, on/off force for A/Bs")
+    p.add_argument("--im2col-margin", type=float, default=None,
+                   help="auto-gate margin override (2.0 default; 1.0 also "
+                        "engages 7x7x3 stems)")
     args = p.parse_args()
 
     if args.im2col != "auto":
         from frostnet_tpu.nn.conv import set_int8_dense_im2col
         set_int8_dense_im2col(args.im2col == "on")
+    if args.im2col_margin is not None:
+        from frostnet_tpu.nn.conv import set_im2col_gate_margin
+        set_im2col_gate_margin(args.im2col_margin)
 
     from frostnet_tpu.nn import FP32, QAT_FROZEN, INT8
     mode_map = {"fp32": FP32, "qat": QAT_FROZEN, "int8": INT8}

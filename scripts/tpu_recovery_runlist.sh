@@ -43,3 +43,8 @@ run() {
 # this round's off leg measured 88,011).
 run python scripts/bench_int8_serving.py --modes int8 --im2col auto
 run python scripts/bench_int8_serving.py --modes int8 --im2col off
+
+# margin-1.0 gate legs: engage the 7x7x3 stems (GAN/resnet) the default
+# 2x gate rejects — modeled ~40% byte saving on those stems.
+run python scripts/bench_workload_serving.py --workloads gan --im2col-margin 1.0
+run python scripts/latency_table.py --models qresnet18 --batch 32 --reps 3 --im2col-margin 1.0

@@ -109,6 +109,15 @@ def test_im2col_auto_gate():
     assert not _im2col_auto_profitable(3, 3, 64, 64)   # resnet body
     assert not _im2col_auto_profitable(3, 3, 6, 8)     # the dense_3x3 case
 
+    # margin override: 1.0 also engages 7x7x3 stems, never Cin=Cout bodies
+    from frostnet_tpu.nn.conv import set_im2col_gate_margin
+    try:
+        set_im2col_gate_margin(1.0)
+        assert _im2col_auto_profitable(7, 7, 3, 64)
+        assert not _im2col_auto_profitable(3, 3, 64, 64)
+    finally:
+        set_im2col_gate_margin(2.0)
+
 
 @pytest.mark.parametrize("case", [
     # dense shapes the AUTO gate rejects: force the im2col route and pin it
