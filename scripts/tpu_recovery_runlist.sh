@@ -38,17 +38,10 @@ run() {
   echo "=== exit=$? ==="
 }
 
-# cls serving stem-im2col A/B: the 15:30Z same-window pair ran DURING the
-# close-out pytest suite (contended; CLAUDE.md: untrustworthy) and read
-# +3% (105.9k vs 102.7k) — the clean cross-window pair read +27%
-# (112.1k auto 15:20Z vs 88.0k off 14:56Z). Re-measure the pair on a
-# QUIET host, alternating to bound drift.
-run python scripts/bench_int8_serving.py --modes int8 --im2col auto
-run python scripts/bench_int8_serving.py --modes int8 --im2col off
-run python scripts/bench_int8_serving.py --modes int8 --im2col auto
-
-# margin-1.0 confirmation legs (contended 15:30Z attempt measured them
-# much WORSE: qresnet18 7.87 ms vs 1.77 auto, gan 677 vs 1075 img/s —
-# plausibly real: a 7x7 stem means 49 strided slices; confirm quiet).
-run python scripts/latency_table.py --models qresnet18 --batch 32 --reps 3 --im2col-margin 1.0
-run python scripts/bench_workload_serving.py --workloads gan --modes int8 --im2col-margin 1.0
+# Round-5 final refresh batch: the stem-im2col route is now the measured
+# default (+18% cls A/B/A; margin-1.0 rejected x3) — refresh the det and
+# seg(512x1024) serving rows and the per-model latency table with it.
+run python scripts/bench_workload_serving.py --workloads det
+run python scripts/bench_workload_serving.py --workloads seg
+run python scripts/latency_table.py --batch 32 --reps 3
+run python scripts/latency_table.py --batch 8 --reps 3
