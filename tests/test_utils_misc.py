@@ -3,6 +3,7 @@ ReduceLROnPlateau, checkpoint round-trip."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -178,6 +179,7 @@ def test_seg_bce_loss_matches_torch_reference():
     np.testing.assert_allclose(ours, want, rtol=1e-6)
 
 
+@pytest.mark.slow  # ~126 s: a short training loop
 def test_seg_train_step_bce_learns_shapes():
     """loss_type='bce' wires through make_seg_train_step and yields a
     finite loss on the synthetic task."""
