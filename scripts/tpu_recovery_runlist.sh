@@ -38,10 +38,6 @@ run() {
   echo "=== exit=$? ==="
 }
 
-# Round-5 final refresh batch: the stem-im2col route is now the measured
-# default (+18% cls A/B/A; margin-1.0 rejected x3) — refresh the det and
-# seg(512x1024) serving rows and the per-model latency table with it.
-run python scripts/bench_workload_serving.py --workloads det
-run python scripts/bench_workload_serving.py --workloads seg
-run python scripts/latency_table.py --batch 32 --reps 3
-run python scripts/latency_table.py --batch 8 --reps 3
+# Final leg: same-run fp32/qat/int8 cls serving under the stem-im2col
+# default, so the round-5 cls ratio is same-run honest (r4: 2.74x).
+run python scripts/bench_int8_serving.py --modes fp32,qat,int8
