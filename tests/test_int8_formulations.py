@@ -160,3 +160,32 @@ def test_im2col_forced_bit_identical(case):
     np.testing.assert_array_equal(np.asarray(got.q), np.asarray(want.q))
     np.testing.assert_allclose(float(got.scale), float(want.scale))
     assert int(got.zero_point) == int(want.zero_point)
+
+
+def test_stem_im2col_routing_visible_in_hlo():
+    """Structural pin for the serving default: an INT8 stem conv (3x3 s2
+    3->32 — the shape class the +18% cls A/B/A validated) must lower as a
+    dot (im2col route), and a body conv (Cin=Cout) must keep lax.conv —
+    visible in the lowered StableHLO, so a silent routing regression fails
+    here without a chip."""
+    def lowered_text(cin, cout):
+        model = QConvBNAct(features=cout, kernel_size=3, strides=2,
+                           padding=1, act="relu", qconfig=QNNPACK)
+        rng = np.random.RandomState(0)
+        xf = jnp.asarray(rng.randn(1, 16, 16, cin).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), xf, mode=QAT, train=True)
+        _, mut = model.apply(v, xf, mode=QAT, train=True,
+                             mutable=["quant", "batch_stats"])
+        v = {"params": v["params"], **mut}
+        xq = QTensor(jnp.asarray(rng.randint(0, 256, (1, 16, 16, cin),
+                                             np.uint8)),
+                     jnp.float32(0.04), jnp.int32(120))
+        return jax.jit(
+            lambda xx: model.apply(v, xx, mode=INT8)).lower(xq).as_text()
+
+    stem = lowered_text(3, 32)       # gate engages: 27 <= 64
+    assert "dot_general" in stem or "dot" in stem
+    assert "convolution" not in stem
+
+    body = lowered_text(32, 32)      # gate rejects: 288 > 64
+    assert "convolution" in body
